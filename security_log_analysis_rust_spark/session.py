@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Everything here is plain public Spark configuration. The defaults are chosen
+for the 100 TB design point (SURVEY.md §4, §7):
+
+* **UTC session timezone** — the reference normalizes every timestamp to UTC
+  at every boundary (``/root/reference/src/lib.rs:249-259``).
+* **AQE on** (coalesce + skew-join) — attacker hosts are Zipf-distributed
+  (one IP is ~900/1000 lines in the reference fixture), so runtime skew
+  handling matters at scale.
+* **Arrow execution on** — the parse bank is pandas-UDF based.
+* **shuffle.partitions** sized for the local harness; a real cluster run
+  passes ``--conf spark.sql.shuffle.partitions=<2-3x total cores>`` via
+  ``spark-submit``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "security-log-analysis-spark",
+    cpus: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``cpus=None`` -> ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``).
+    On a real cluster this module is not used: ``spark-submit`` owns the
+    session and ``configure(spark)`` applies the same session-level settings.
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+    else:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # small dims (host_country, country_code) must broadcast
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply session-level settings to an externally-owned SparkSession
+    (e.g. the driver's). Only runtime-settable confs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
