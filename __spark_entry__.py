@@ -1,38 +1,805 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the equivalent
+DuckDB SQL over the same parquet inputs (an independent second
+implementation, not a shared code path). Column names/aliases match exactly.
+
+Pipeline queries run over the deterministic synthetic pages table
+(input_hint schema) generated on demand under ``data/``; text/dedup/
+similarity queries run over the driver's ``documents``/``embeddings``/
+``events`` testdata views.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+#: the driver's correctness pass runs at this scale
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+SERVERS = ("home.ddboline.net", "cloud.ddboline.net")
+AS_OF = "2024-12-31"  # deterministic anchor replacing the reference's now()
+NDAYS = 180
+
+
+# --------------------------------------------------------------------------
+# shared Spark-side builders
+# --------------------------------------------------------------------------
+
+def _prep(spark: SparkSession, sf_dir: str) -> dict:
+    from security_log_analysis_rust_spark.session import configure
+    from security_log_analysis_rust_spark.synth import ensure_synthetic
+
+    configure(spark)
+    return ensure_synthetic(sf_dir)
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_prep(spark, sf_dir)["pages"])
+
+
+def _dims(spark: SparkSession, sf_dir: str):
+    paths = _prep(spark, sf_dir)
+    return (
+        spark.read.parquet(paths["host_country"]),
+        spark.read.parquet(paths["country_code"]),
+    )
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    from security_log_analysis_rust_spark.pipeline.parse import extract_events
+
+    return extract_events(_pages(spark, sf_dir))["events"]
+
+
+def _systemd(spark, sf_dir) -> DataFrame:
+    from security_log_analysis_rust_spark.pipeline.parse import extract_events
+
+    return extract_events(_pages(spark, sf_dir))["systemd"]
+
+
+def _intrusion(spark, sf_dir) -> DataFrame:
+    from security_log_analysis_rust_spark.pipeline.route import dedup_intrusions
+
+    return dedup_intrusions(_events(spark, sf_dir)).select(
+        "service", "server", "datetime", "host", "username"
+    )
+
+
+def _enriched(spark, sf_dir, how="left") -> DataFrame:
+    from security_log_analysis_rust_spark.pipeline.enrich import enrich_events
+
+    hc, cc = _dims(spark, sf_dir)
+    return enrich_events(_intrusion(spark, sf_dir), hc, cc, how=how)
+
+
+_EVENT_PROJ = ["url", "service", "server", "datetime", "host", "username"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _evtbl(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- document text helpers (Spark side) ------------------------------------
+
+def _doc_tokens():
+    return F.split(F.lower(F.trim(F.col("text"))), r"\W+")
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (shared by jaccard + minhash)."""
+    toks = _doc_tokens()
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("sh"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_ssh_events(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.parse import (
+        pages_to_lines,
+        parse_ssh_lines,
+    )
+
+    return parse_ssh_lines(pages_to_lines(_pages(spark, sf_dir))).select(*_EVENT_PROJ)
+
+
+def q_apache_events(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.parse import (
+        pages_to_lines,
+        parse_apache_lines,
+    )
+
+    return parse_apache_lines(pages_to_lines(_pages(spark, sf_dir))).select(
+        *_EVENT_PROJ
+    )
+
+
+def q_journald_events(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.parse import (
+        pages_to_lines,
+        parse_journald_lines,
+    )
+
+    intr, _ = parse_journald_lines(pages_to_lines(_pages(spark, sf_dir)))
+    return intr.select(*_EVENT_PROJ)
+
+
+def q_systemd_messages(spark, sf_dir):
+    return _systemd(spark, sf_dir).select(
+        "url", "log_level", "log_unit", "log_message", "log_timestamp"
+    )
+
+
+def q_intrusion_log(spark, sf_dir):
+    return _intrusion(spark, sf_dir)
+
+
+def q_enriched_export(spark, sf_dir):
+    return _enriched(spark, sf_dir, how="left").select(
+        "service", "server", "datetime", "host", "username", "code", "country"
+    )
+
+
+def q_per_country(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.aggregate import per_country_counts
+
+    return per_country_counts(_enriched(spark, sf_dir, how="inner"))
+
+
+def q_per_country_recent(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.aggregate import per_country_counts
+
+    return per_country_counts(
+        _enriched(spark, sf_dir, how="inner"),
+        service="ssh",
+        server=SERVERS[0],
+        ndays=NDAYS,
+        as_of=AS_OF,
+    )
+
+
+def q_top10_countries(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.aggregate import top_k_countries
+
+    return top_k_countries(_enriched(spark, sf_dir, how="inner"), k=10)
+
+
+def q_per_host(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.aggregate import per_host_counts
+
+    return per_host_counts(_intrusion(spark, sf_dir))
+
+
+def q_per_day(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.aggregate import per_day_counts
+
+    return per_day_counts(_intrusion(spark, sf_dir))
+
+
+def q_year_month(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.aggregate import year_month_counts
+
+    return year_month_counts(_intrusion(spark, sf_dir))
+
+
+def q_dangling_hosts(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.enrich import dangling_hosts
+
+    hc, _ = _dims(spark, sf_dir)
+    return dangling_hosts(_intrusion(spark, sf_dir), hc)
+
+
+def q_watermarks(spark, sf_dir):
+    return (
+        _intrusion(spark, sf_dir)
+        .groupBy("service", "server")
+        .agg(F.max("datetime").alias("max_datetime"))
+    )
+
+
+def q_overall_watermark(spark, sf_dir):
+    intr = _intrusion(spark, sf_dir)
+    per = (
+        intr.filter(F.col("service").isin("ssh", "nginx"))
+        .groupBy("server", "service")
+        .agg(F.max("datetime").alias("mx"))
+    )
+    return per.groupBy("server").agg(F.min("mx").alias("watermark"))
+
+
+def q_pagination(spark, sf_dir):
+    from security_log_analysis_rust_spark.pipeline.aggregate import paginate
+
+    return paginate(_intrusion(spark, sf_dir), offset=50, limit=25)
+
+
+# --- testdata-table queries (events / documents / embeddings) ---------------
+
+def q_events_daily(spark, sf_dir):
+    return (
+        _evtbl(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def q_events_user_first(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _evtbl(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("first_ts"),
+            F.col("event_type").alias("first_type"),
+        )
+    )
+
+
+def q_events_type_stats(spark, sf_dir):
+    return _evtbl(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.round(F.min("value"), 3).alias("min_value"),
+        F.round(F.max("value"), 3).alias("max_value"),
+    )
+
+
+def q_docs_token_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return _docs(spark, sf_dir).select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    fp = F.md5(F.substring("text", 1, 80))
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(fp.alias("prefix_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
+def q_docs_langid(spark, sf_dir):
+    t = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def cnt(p):
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(p), F.lit(" "))))
+            / (len(p) - 1)
+        ).cast("int")
+
+    en = (cnt(" the ") + cnt(" and ") + cnt(" of ")).alias("en_score")
+    de = (cnt(" der ") + cnt(" und ") + cnt(" die ")).alias("de_score")
+    fr = (cnt(" le ") + cnt(" et ") + cnt(" la ")).alias("fr_score")
+    df = _docs(spark, sf_dir).select("doc_id", en, de, fr)
+    guess = (
+        F.when(
+            (F.col("en_score") >= F.col("de_score"))
+            & (F.col("en_score") >= F.col("fr_score")),
+            "en",
+        )
+        .when(F.col("de_score") >= F.col("fr_score"), "de")
+        .otherwise("fr")
+    )
+    return df.select("doc_id", "en_score", "de_score", "fr_score", guess.alias("guess_lang"))
+
+
+def q_docs_quality(spark, sf_dir):
+    toks = F.split(F.trim("text"), r"\s+")
+    t = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    stop = (
+        (F.length(t) - F.length(F.replace(t, F.lit(" the "), F.lit(" ")))) / 4
+    ).cast("int")
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("int")
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        stop.alias("stopword_count"),
+        punct.alias("punct_count"),
+    )
+    return df.withColumn(
+        "is_quality",
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_count") * 5 < F.col("n_tokens"))
+        & (F.col("stopword_count") > 0),
+    )
+
+
+def q_docs_jaccard_pairs(spark, sf_dir):
+    sh = _doc_shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))
+    j = inter.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+    return (
+        j.withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        .filter(F.col("inter") * 2 >= F.col("uni"))  # jaccard >= 0.5, exact ints
+        .select("a_id", "b_id", "inter", "uni")
+    )
+
+
+def q_docs_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 8 md5-minhashes, 4 bands of 2."""
+    sh = _doc_shingles(_docs(spark, sf_dir))
+    seeded = sh.select(
+        "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s")
+    )
+    sig = seeded.groupBy("doc_id", "s").agg(
+        F.min(F.md5(F.concat(F.col("s").cast("string"), F.lit(":"), F.col("sh")))).alias("mh")
+    )
+    band = sig.withColumn("band", F.floor(F.col("s") / 2).cast("int"))
+    buckets = band.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "mh"))),
+                    lambda x: x["mh"],
+                ),
+            )
+        ).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def q_emb_top1(spark, sf_dir):
+    """Brute-force cosine top-1 neighbor per vector (ANN baseline)."""
+    emb = _emb(spark, sf_dir)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", vec.alias("v"))
+    a = base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot / (norm("va") * norm("vb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("a_id").alias("vec_id"), F.col("b_id").alias("neighbor_id"), "sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse -> enrich -> dedup -> per-country counts at sf0.001."""
+    return q_per_country(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ssh_events": q_ssh_events,
+        "apache_events": q_apache_events,
+        "journald_events": q_journald_events,
+        "systemd_messages": q_systemd_messages,
+        "intrusion_log": q_intrusion_log,
+        "enriched_export": q_enriched_export,
+        "per_country": q_per_country,
+        "per_country_recent": q_per_country_recent,
+        "top10_countries": q_top10_countries,
+        "per_host": q_per_host,
+        "per_day": q_per_day,
+        "year_month": q_year_month,
+        "dangling_hosts": q_dangling_hosts,
+        "watermarks": q_watermarks,
+        "overall_watermark": q_overall_watermark,
+        "pagination": q_pagination,
+        "events_daily": q_events_daily,
+        "events_user_first": q_events_user_first,
+        "events_type_stats": q_events_type_stats,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_langid": q_docs_langid,
+        "docs_quality": q_docs_quality,
+        "docs_jaccard_pairs": q_docs_jaccard_pairs,
+        "docs_minhash_lsh": q_docs_minhash_lsh,
+        "emb_top1": q_emb_top1,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (independent implementation of the same semantics)
+# --------------------------------------------------------------------------
+
+_IPV4 = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+
+# NOTE: literal '{' appears in SQL; the template is joined with .replace(),
+# not str.format, to avoid brace escaping.
+_PIPELINE_CTE = r"""
+WITH pages AS (SELECT * FROM read_parquet('@PAGES@/*.parquet')),
+lines AS (
+  SELECT url, warc_ts, year(warc_ts) AS yr,
+         CASE WHEN substr(md5(url),32,1) IN ('0','1','2','3','4','5','6','7')
+              THEN 'home.ddboline.net' ELSE 'cloud.ddboline.net' END AS server,
+         unnest(string_split(coalesce(text,''), chr(10))) AS line
+  FROM pages
+),
+cls AS (
+  SELECT *,
+    (starts_with(line,'{') AND contains(line,'__REALTIME_TIMESTAMP')) AS is_j,
+    (contains(line,'sshd') AND contains(line,'Invalid user')) AS is_ssh
+  FROM lines
+),
+ssh_tok AS (
+  SELECT url, server, yr, line, string_split_regex(trim(line),'\s+') AS toks
+  FROM cls WHERE NOT is_j AND is_ssh
+),
+ssh_msg AS (
+  SELECT url, server,
+    try_strptime(toks[1]||' '||toks[2]||' '||CAST(yr AS VARCHAR)||' '||toks[3],
+                 '%b %d %Y %H:%M:%S') AS datetime,
+    string_split(string_split(line, 'Invalid user ')[2], ' from ') AS seg
+  FROM ssh_tok WHERE len(toks) >= 10
+),
+ssh_ev AS (
+  SELECT url, 'ssh' AS service, server, datetime,
+         substr(trim(string_split(seg[2], 'port')[1]), 1, 60) AS host,
+         substr(seg[1], 1, 15) AS username
+  FROM ssh_msg
+  WHERE datetime IS NOT NULL AND seg[2] IS NOT NULL
+    AND contains(substr(trim(string_split(seg[2],'port')[1]),1,60), '.')
+),
+ap_tok AS (
+  SELECT url, server, line, string_split_regex(trim(line),'\s+') AS toks
+  FROM cls WHERE NOT is_j AND NOT is_ssh
+),
+ap_ev AS (
+  SELECT url, 'apache' AS service, server,
+    timezone('UTC', strptime(replace(replace(toks[4]||toks[5],'[',''),']',''),
+                             '%d/%b/%Y:%H:%M:%S%z')) AS datetime,
+    substr(toks[1],1,60) AS host,
+    CAST(NULL AS VARCHAR) AS username
+  FROM ap_tok
+  WHERE len(toks) >= 5 AND contains(substr(toks[1],1,60),'.')
+    AND try_strptime(replace(replace(toks[4]||toks[5],'[',''),']',''),
+                     '%d/%b/%Y:%H:%M:%S%z') IS NOT NULL
+),
+j_ok AS (
+  -- CASE-guard keeps json_extract_string from ever touching non-JSON lines
+  -- (DuckDB may evaluate scan projections before the is_j filter)
+  SELECT url, server, line,
+    json_extract_string(CASE WHEN is_j THEN line END, '$.MESSAGE') AS msg,
+    json_extract_string(CASE WHEN is_j THEN line END, '$.UNIT') AS unit,
+    make_timestamp(TRY_CAST(json_extract_string(CASE WHEN is_j THEN line END,
+        '$."__REALTIME_TIMESTAMP"') AS BIGINT)) AS jts
+  FROM cls
+  WHERE is_j
+    AND NOT (contains(line,'kex_exchange_identification')
+          OR contains(line,'error: maximum authentication attempts exceeded for invalid user')
+          OR contains(line,'Disconnected from invalid user')
+          OR contains(line,'Failed password for invalid user'))
+    AND TRY_CAST(json_extract_string(CASE WHEN is_j THEN line END,
+        '$."__REALTIME_TIMESTAMP"') AS BIGINT) IS NOT NULL
+),
+jssh_msg AS (
+  SELECT url, server, jts,
+         string_split(string_split(msg,'Invalid user ')[2], ' from ') AS seg
+  FROM j_ok WHERE contains(line, 'Invalid user ')
+),
+jssh_ev AS (
+  SELECT url, 'ssh' AS service, server, jts AS datetime,
+    substr(trim(string_split(seg[2],'port')[1]),1,60) AS host,
+    substr(seg[1],1,15) AS username
+  FROM jssh_msg
+  WHERE seg[2] IS NOT NULL
+    AND contains(substr(trim(string_split(seg[2],'port')[1]),1,60),'.')
+),
+jng AS (
+  SELECT url, server, jts, line, msg, unit,
+         string_split_regex(trim(coalesce(msg,'')),'\s+') AS mtoks
+  FROM j_ok WHERE NOT contains(line,'Invalid user ')
+),
+jng_ev AS (
+  SELECT url, 'nginx' AS service, server, jts AS datetime,
+         substr(mtoks[3],1,60) AS host, CAST(NULL AS VARCHAR) AS username
+  FROM jng
+  WHERE contains(line,'nginx') AND len(mtoks) >= 3
+    AND regexp_matches(substr(mtoks[3],1,60), '@IPV4@')
+),
+sysd AS (
+  SELECT url,
+    CASE WHEN contains(line,'err') OR contains(line,'ERR') THEN 'error'
+         WHEN contains(line,'warn') OR contains(line,'WARN') THEN 'warn'
+         WHEN contains(line,'info') OR contains(line,'INFO') THEN 'info'
+         WHEN contains(line,'debug') OR contains(line,'DEBUG') THEN 'debug'
+    END AS log_level,
+    unit AS log_unit, msg AS log_message, jts AS log_timestamp
+  FROM jng
+  WHERE NOT (contains(line,'nginx') AND len(mtoks) >= 3
+             AND regexp_matches(substr(mtoks[3],1,60), '@IPV4@'))
+    AND (contains(line,'err') OR contains(line,'ERR')
+         OR contains(line,'warn') OR contains(line,'WARN')
+         OR contains(line,'info') OR contains(line,'INFO')
+         OR contains(line,'debug') OR contains(line,'DEBUG'))
+),
+events AS (
+  SELECT * FROM ssh_ev UNION ALL SELECT * FROM ap_ev
+  UNION ALL SELECT * FROM jssh_ev UNION ALL SELECT * FROM jng_ev
+),
+intrusion AS (
+  SELECT service, server, datetime, host, username FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY service, server, datetime, host
+        ORDER BY username ASC NULLS FIRST, url ASC) AS rn
+    FROM events) t WHERE rn = 1
+),
+hc AS (SELECT * FROM read_parquet('@HC@')),
+cc AS (SELECT * FROM read_parquet('@CC@'))
+"""
+
+_DOC_SHINGLE_CTE = r"""
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\W+') AS toks
+  FROM documents
+),
+shing AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+         ELSE [] END)) AS sh
+  FROM toksrc
+)
+"""
+
+
+def _pipeline_sql(select: str) -> str:
+    from security_log_analysis_rust_spark.synth import ensure_synthetic
+
+    paths = ensure_synthetic(ORACLE_SF_DIR)
+    return (
+        (_PIPELINE_CTE + select)
+        .replace("@PAGES@", paths["pages"])
+        .replace("@HC@", paths["host_country"])
+        .replace("@CC@", paths["country_code"])
+        .replace("@IPV4@", _IPV4)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = _pipeline_sql
+    recent = (
+        f"a.service = 'ssh' AND a.server = '{SERVERS[0]}' "
+        f"AND a.datetime >= (DATE '{AS_OF}' - INTERVAL {NDAYS} DAY)"
+    )
+    return {
+        "ssh_events": P(
+            "SELECT url, service, server, datetime, host, username FROM ssh_ev"
+        ),
+        "apache_events": P(
+            "SELECT url, service, server, datetime, host, username FROM ap_ev"
+        ),
+        "journald_events": P(
+            "SELECT url, service, server, datetime, host, username FROM jssh_ev "
+            "UNION ALL SELECT url, service, server, datetime, host, username FROM jng_ev"
+        ),
+        "systemd_messages": P(
+            "SELECT url, log_level, log_unit, log_message, log_timestamp FROM sysd"
+        ),
+        "intrusion_log": P("SELECT * FROM intrusion"),
+        "enriched_export": P(
+            "SELECT a.service, a.server, a.datetime, a.host, a.username, b.code, c.country "
+            "FROM intrusion a LEFT JOIN hc b ON a.host = b.host "
+            "LEFT JOIN cc c ON b.code = c.code"
+        ),
+        "per_country": P(
+            "SELECT c.country, count(*) AS count "
+            "FROM intrusion a JOIN hc b ON a.host = b.host JOIN cc c ON b.code = c.code "
+            "GROUP BY c.country"
+        ),
+        "per_country_recent": P(
+            "SELECT c.country, count(*) AS count "
+            "FROM intrusion a JOIN hc b ON a.host = b.host JOIN cc c ON b.code = c.code "
+            f"WHERE {recent} GROUP BY c.country"
+        ),
+        "top10_countries": P(
+            "SELECT c.country, count(*) AS count "
+            "FROM intrusion a JOIN hc b ON a.host = b.host JOIN cc c ON b.code = c.code "
+            "GROUP BY c.country ORDER BY count DESC, c.country ASC LIMIT 10"
+        ),
+        "per_host": P(
+            "SELECT host, count(*) AS count FROM intrusion GROUP BY host"
+        ),
+        "per_day": P(
+            "SELECT CAST(datetime AS DATE) AS day, count(*) AS count "
+            "FROM intrusion GROUP BY 1"
+        ),
+        "year_month": P(
+            "SELECT CAST(year(datetime) AS INT) AS year, "
+            "CAST(month(datetime) AS INT) AS month, count(*) AS count "
+            "FROM intrusion GROUP BY 1, 2"
+        ),
+        "dangling_hosts": P(
+            "SELECT DISTINCT a.host FROM intrusion a "
+            "LEFT JOIN hc b ON a.host = b.host WHERE b.host IS NULL"
+        ),
+        "watermarks": P(
+            "SELECT service, server, max(datetime) AS max_datetime "
+            "FROM intrusion GROUP BY 1, 2"
+        ),
+        "overall_watermark": P(
+            "SELECT server, min(mx) AS watermark FROM ("
+            "SELECT server, service, max(datetime) AS mx FROM intrusion "
+            "WHERE service IN ('ssh','nginx') GROUP BY 1, 2) t GROUP BY server"
+        ),
+        "pagination": P(
+            "SELECT * FROM intrusion "
+            "ORDER BY datetime DESC, host ASC, service ASC, server ASC "
+            "LIMIT 25 OFFSET 50"
+        ),
+        "events_daily": (
+            "SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS count "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_user_first": (
+            "SELECT user_id, ts AS first_ts, event_type AS first_type FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts ASC, event_id ASC) AS rn FROM events) t WHERE rn = 1"
+        ),
+        "events_type_stats": (
+            "SELECT event_type, count(*) AS count, "
+            "round(sum(value), 3) AS sum_value, "
+            "round(min(value), 3) AS min_value, "
+            "round(max(value), 3) AS max_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "docs_token_stats": (
+            r"SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) "
+            "AS n_tokens, CAST(length(text) AS INT) AS n_chars FROM documents"
+        ),
+        "docs_fingerprint": (
+            r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
+            "AS fingerprint FROM documents"
+        ),
+        "docs_exact_dedup": (
+            "SELECT md5(substr(text, 1, 80)) AS prefix_fp, count(*) AS dup_count, "
+            "min(doc_id) AS representative FROM documents GROUP BY 1"
+        ),
+        "docs_langid": (
+            "WITH t AS (SELECT doc_id, ' '||lower(text)||' ' AS s FROM documents), "
+            "sc AS (SELECT doc_id, "
+            "CAST((length(s)-length(replace(s,' the ',' ')))/4 "
+            " + (length(s)-length(replace(s,' and ',' ')))/4 "
+            " + (length(s)-length(replace(s,' of ',' ')))/3 AS INT) AS en_score, "
+            "CAST((length(s)-length(replace(s,' der ',' ')))/4 "
+            " + (length(s)-length(replace(s,' und ',' ')))/4 "
+            " + (length(s)-length(replace(s,' die ',' ')))/4 AS INT) AS de_score, "
+            "CAST((length(s)-length(replace(s,' le ',' ')))/3 "
+            " + (length(s)-length(replace(s,' et ',' ')))/3 "
+            " + (length(s)-length(replace(s,' la ',' ')))/3 AS INT) AS fr_score "
+            "FROM t) "
+            "SELECT doc_id, en_score, de_score, fr_score, "
+            "CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en' "
+            "WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS guess_lang FROM sc"
+        ),
+        "docs_quality": (
+            r"WITH q AS (SELECT doc_id, "
+            r"CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens, "
+            "CAST((length(' '||lower(text)||' ') - "
+            "length(replace(' '||lower(text)||' ', ' the ', ' ')))/4 AS INT) "
+            "AS stopword_count, "
+            r"CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INT) "
+            "AS punct_count FROM documents) "
+            "SELECT doc_id, n_tokens, stopword_count, punct_count, "
+            "(n_tokens >= 5 AND punct_count * 5 < n_tokens AND stopword_count > 0) "
+            "AS is_quality FROM q"
+        ),
+        "docs_jaccard_pairs": _DOC_SHINGLE_CTE + (
+            ", sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY 1), "
+            "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter "
+            "FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni "
+            "FROM pairs JOIN sizes sa ON a_id = sa.doc_id "
+            "JOIN sizes sb ON b_id = sb.doc_id "
+            "WHERE inter * 2 >= sa.sz + sb.sz - inter"
+        ),
+        "docs_minhash_lsh": _DOC_SHINGLE_CTE + (
+            ", sig AS (SELECT doc_id, t.s, "
+            "min(md5(CAST(t.s AS VARCHAR)||':'||sh)) AS mh "
+            "FROM shing, range(8) t(s) GROUP BY doc_id, t.s), "
+            "bands AS (SELECT doc_id, CAST(floor(s / 2) AS INT) AS band, "
+            "md5(string_agg(mh, '|' ORDER BY s)) AS bucket "
+            "FROM sig GROUP BY doc_id, CAST(floor(s / 2) AS INT)) "
+            "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+            "FROM bands a JOIN bands b "
+            "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        ),
+        "emb_top1": (
+            "WITH v AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+            "pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+            "round(list_sum(list_transform(list_zip(a.e, b.e), "
+            "z -> z[1] * z[2])) / "
+            "(sqrt(list_sum(list_transform(a.e, x -> x * x))) * "
+            "sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS sim "
+            "FROM v a, v b WHERE a.vec_id != b.vec_id) "
+            "SELECT a_id AS vec_id, b_id AS neighbor_id, sim FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY a_id "
+            "ORDER BY sim DESC, b_id ASC) AS rn FROM pairs) t WHERE rn = 1"
+        ),
+    }

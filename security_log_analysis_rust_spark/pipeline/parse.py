@@ -1,0 +1,248 @@
+"""Parse stage: pages -> lines -> typed events (all narrow, no shuffle).
+
+Maps the reference's per-source parsers onto one line-routed DataFrame DAG
+(SURVEY.md §2.1-§2.4). Routing precedence per line:
+
+1. journald JSON  (starts with ``{`` and mentions ``__REALTIME_TIMESTAMP``)
+   -> ssh / nginx / leveled-message routing (``src/parse_logs.rs:261-302,
+   328-379``)
+2. ssh auth line  (contains ``sshd`` and ``Invalid user``)
+   -> ``parse_log_line_ssh`` semantics (``src/parse_logs.rs:88-116``)
+3. anything else is an apache-CLF candidate
+   -> ``parse_log_line_apache`` semantics (``src/parse_logs.rs:208-232``)
+
+Guards, tokenization, and timestamp parsing are built-in column expressions
+(whole-stage codegen); only the byte-exact 'Invalid user' extraction runs as
+an Arrow pandas UDF. Everything uses ``try_*`` variants so the stage is safe
+under ANSI mode (Spark 4 default) — unparseable rows drop instead of failing
+a 100 TB job.
+
+Scale notes: every transform here is narrow (filter/project over the line
+explode), so this stage never shuffles; it scales linearly with input splits
+and survives skew trivially.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..parsing.core import DEFAULT_SYSTEMD_LOG_FILTERS, SERVERS
+from ..parsing.udfs import invalid_user_udf
+from ..schemas import JOURNALD_SCHEMA
+
+#: strict dotted-quad (matches Rust ``Ipv4Addr`` parse: 0-255, no leading 0s)
+IPV4_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+
+_EVENT_COLS = ["url", "line_no", "service", "server", "datetime", "host", "username"]
+
+
+def pages_to_lines(pages: DataFrame) -> DataFrame:
+    """Explode page ``text`` into one row per log line (S3 analog)."""
+    return pages.select(
+        "url",
+        "warc_ts",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n")).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def server_col(url: Column = None) -> Column:
+    """Deterministic server attribution (reference: per-host config,
+    ``src/lib.rs:96-166``). Hash-partitioned on url so both sides of the
+    DuckDB oracle derive the same value."""
+    url = F.col("url") if url is None else url
+    return F.when(
+        F.substring(F.md5(url), 32, 1).isin(*list("01234567")),
+        F.lit(SERVERS[0]),
+    ).otherwise(F.lit(SERVERS[1]))
+
+
+def is_journald(line: Column) -> Column:
+    return line.startswith("{") & line.contains("__REALTIME_TIMESTAMP")
+
+
+def is_ssh_auth(line: Column) -> Column:
+    # F1 pre-filter (parse_logs.rs:90-92)
+    return (
+        ~is_journald(line) & line.contains("sshd") & line.contains("Invalid user")
+    )
+
+
+def parse_ssh_lines(lines: DataFrame) -> DataFrame:
+    """ssh auth lines -> events (P1+P2; service='ssh').
+
+    Timestamp: ``"{tok0} {tok1} {year} {tok2}"`` with year = year(warc_ts)
+    (the reference uses log-file mtime year, parse_logs.rs:156-158; the crawl
+    timestamp is the analogous provenance here), pinned to UTC (SURVEY §7.4.2).
+    """
+    line = F.col("line")
+    toks = F.split(F.trim(line), r"\s+")
+    df = (
+        lines.filter(is_ssh_auth(line))
+        .withColumn("toks", toks)
+        .filter(F.size("toks") >= 10)  # F2 token guard (parse_logs.rs:93-96)
+        .withColumn(
+            "datetime",
+            F.try_to_timestamp(
+                F.concat_ws(
+                    " ",
+                    F.get("toks", 0),
+                    F.get("toks", 1),
+                    F.year("warc_ts").cast("string"),
+                    F.get("toks", 2),
+                ),
+                F.lit("MMM d yyyy HH:mm:ss"),
+            ),
+        )
+        .withColumn("ex", invalid_user_udf(line))
+    )
+    return df.filter(
+        F.col("datetime").isNotNull() & F.col("ex.host").isNotNull()
+    ).select(
+        "url",
+        "line_no",
+        F.lit("ssh").alias("service"),
+        server_col().alias("server"),
+        "datetime",
+        F.col("ex.host").alias("host"),
+        F.col("ex.username").alias("username"),
+    )
+
+
+def parse_apache_lines(lines: DataFrame) -> DataFrame:
+    """apache CLF candidates -> events (P3; service='apache', username NULL)."""
+    line = F.col("line")
+    toks = F.split(F.trim(line), r"\s+")
+    df = (
+        lines.filter(~is_journald(line) & ~is_ssh_auth(line))
+        .withColumn("toks", toks)
+        .filter(F.size("toks") >= 5)  # F2 (parse_logs.rs:209-212)
+        .withColumn("host", F.substring(F.get("toks", 0), 1, 60))
+        .filter(F.col("host").contains("."))  # F3 (parse_logs.rs:215-217)
+        .withColumn(
+            "datetime",
+            F.try_to_timestamp(
+                F.regexp_replace(
+                    F.concat(F.get("toks", 3), F.get("toks", 4)), r"[\[\]]", ""
+                ),
+                F.lit("d/MMM/yyyy:HH:mm:ssxx"),
+            ),
+        )
+        .filter(F.col("datetime").isNotNull())
+    )
+    return df.select(
+        "url",
+        "line_no",
+        F.lit("apache").alias("service"),
+        server_col().alias("server"),
+        "datetime",
+        "host",
+        F.lit(None).cast("string").alias("username"),
+    )
+
+
+def parse_journald_lines(
+    lines: DataFrame,
+    filters: Sequence[str] = DEFAULT_SYSTEMD_LOG_FILTERS,
+) -> Tuple[DataFrame, DataFrame]:
+    """journald JSON lines -> (intrusion events, systemd messages).
+
+    Mirrors the daemon routing (parse_logs.rs:328-371): blacklist filter
+    first (F6), then 'Invalid user ' -> ssh, then 'nginx' with a strict-IPv4
+    token[2] -> nginx, else leveled-message classification (P7) over the raw
+    line. µs-epoch timestamps via ``timestamp_micros`` (P4).
+    """
+    line = F.col("line")
+    blacklist = reduce(or_, [line.contains(f) for f in filters])
+    j = (
+        lines.filter(is_journald(line))
+        .filter(~blacklist)
+        .withColumn("rec", F.from_json(line, JOURNALD_SCHEMA))
+        .withColumn(
+            "jts",
+            F.timestamp_micros(
+                F.col("rec.__REALTIME_TIMESTAMP").try_cast("long")
+            ),
+        )
+        .filter(F.col("jts").isNotNull())
+    )
+
+    is_invalid_user = line.contains("Invalid user ")
+    ssh = (
+        j.filter(is_invalid_user)
+        .withColumn("ex", invalid_user_udf(F.col("rec.MESSAGE")))
+        .filter(F.col("ex.host").isNotNull())
+        .select(
+            "url",
+            "line_no",
+            F.lit("ssh").alias("service"),
+            server_col().alias("server"),
+            F.col("jts").alias("datetime"),
+            F.col("ex.host").alias("host"),
+            F.col("ex.username").alias("username"),
+        )
+    )
+
+    mtoks = F.split(F.trim(F.col("rec.MESSAGE")), r"\s+")
+    nginx_host = F.substring(F.get(mtoks, 2), 1, 60)
+    nginx_ok = (
+        ~is_invalid_user
+        & line.contains("nginx")
+        & (F.size(mtoks) >= 3)
+        & nginx_host.rlike(IPV4_RE)
+    )
+    nginx = j.filter(nginx_ok).select(
+        "url",
+        "line_no",
+        F.lit("nginx").alias("service"),
+        server_col().alias("server"),
+        F.col("jts").alias("datetime"),
+        nginx_host.alias("host"),
+        F.lit(None).cast("string").alias("username"),
+    )
+
+    # leveled messages: everything not routed above (failed nginx parses
+    # fall through, parse_logs.rs:354-363); classifier on the raw line
+    level = (
+        F.when(line.contains("err") | line.contains("ERR"), "error")
+        .when(line.contains("warn") | line.contains("WARN"), "warn")
+        .when(line.contains("info") | line.contains("INFO"), "info")
+        .when(line.contains("debug") | line.contains("DEBUG"), "debug")
+    )
+    systemd = (
+        j.filter(~is_invalid_user & ~nginx_ok)
+        .withColumn("log_level", level)
+        .filter(F.col("log_level").isNotNull())
+        .select(
+            "url",
+            "line_no",
+            "log_level",
+            F.col("rec.UNIT").alias("log_unit"),
+            F.col("rec.MESSAGE").alias("log_message"),
+            F.col("jts").alias("log_timestamp"),
+        )
+    )
+    return ssh.unionByName(nginx), systemd
+
+
+def extract_events(pages: DataFrame) -> dict:
+    """Full parse stage: pages -> {events, systemd, lines}.
+
+    ``events`` = union of ssh-auth, apache-CLF, journald-ssh and
+    journald-nginx extractions — the pre-sink event stream (EVENTS_SCHEMA).
+    """
+    lines = pages_to_lines(pages)
+    ssh = parse_ssh_lines(lines)
+    apache = parse_apache_lines(lines)
+    j_intr, systemd = parse_journald_lines(lines)
+    events = ssh.unionByName(apache).unionByName(j_intr).select(*_EVENT_COLS)
+    return {"events": events, "systemd": systemd, "lines": lines}

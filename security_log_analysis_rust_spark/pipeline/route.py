@@ -1,0 +1,126 @@
+"""Routing/sink stage: dedup + fan-out writers.
+
+The reference routes parsed rows into Postgres tables with
+``INSERT ... ON CONFLICT DO NOTHING`` against the unique key
+``(service, server, datetime, host)`` (``migrations/V03__intrusion_log.sql:10``,
+``src/models.rs:429-448``) after a sort + adjacent-dedup pass
+(``src/parse_logs.rs:198-202``). Spark has no unique constraints, so the same
+exactly-once semantics are built from:
+
+* ``dedup_intrusions`` — deterministic keep-first over the unique key
+  (window ``row_number``; the reference's keep-first is insert-order
+  dependent, ours is ordered by (username NULLS FIRST, url, line_no) and
+  therefore reproducible — SURVEY.md §7.4.3);
+* ``append_dedup`` — anti-join against the existing sink before an append,
+  replacing ON CONFLICT DO NOTHING (O8 -> K1).
+
+Scale: the dedup shuffles once on the unique key — the same shuffle a
+``groupBy`` would need; AQE handles skewed hosts. The anti-join reads only
+the sink's key columns (column pruning) and can be restricted to the
+incremental datetime range via ``since``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import INTRUSION_LOG_SCHEMA, SYSTEMD_LOG_MESSAGES_SCHEMA
+
+#: intrusion_log unique key (migrations/V03__intrusion_log.sql:10)
+UNIQUE_KEY = ["service", "server", "datetime", "host"]
+
+
+def dedup_intrusions(events: DataFrame) -> DataFrame:
+    """Keep one row per unique key, deterministically (K1/O5/O8)."""
+    order = [F.col("username").asc_nulls_first()]
+    for c in ("url", "line_no"):
+        if c in events.columns:
+            order.append(F.col(c).asc())
+    w = Window.partitionBy(*UNIQUE_KEY).orderBy(*order)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def to_intrusion_log(deduped: DataFrame) -> DataFrame:
+    """Attach the random uuid4 id (``src/parse_logs.rs:46``; excluded from
+    all equality checks) and project the sink schema."""
+    return deduped.select(
+        F.expr("uuid()").alias("id"),
+        "service",
+        "server",
+        "datetime",
+        "host",
+        "username",
+    )
+
+
+def to_systemd_log_messages(systemd: DataFrame) -> DataFrame:
+    """Project the systemd sink schema (``migrations/V07__log_messages.sql``);
+    ``processed_time`` starts NULL (V08)."""
+    return systemd.select(
+        F.expr("uuid()").alias("id"),
+        "log_level",
+        "log_unit",
+        "log_message",
+        "log_timestamp",
+        F.lit(None).cast("timestamp").alias("processed_time"),
+    )
+
+
+def read_sink(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a parquet sink table; empty DataFrame if it doesn't exist yet."""
+    if os.path.exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def append_dedup(
+    spark: SparkSession,
+    sink_path: str,
+    new_rows: DataFrame,
+    key=UNIQUE_KEY,
+    since: Optional[str] = None,
+) -> int:
+    """ON CONFLICT DO NOTHING analog: drop rows whose key already exists in
+    the sink, then append. Returns the number of appended rows.
+
+    ``since`` (ISO timestamp) prunes the sink scan to the incremental range —
+    at scale the sink is partitioned by month(datetime) so this becomes
+    partition pruning, keeping the anti-join's build side small.
+    """
+    if os.path.exists(sink_path):
+        existing = spark.read.parquet(sink_path).select(*key)
+        if since is not None:
+            existing = existing.filter(F.col("datetime") >= F.lit(since))
+        new_rows = new_rows.join(existing, key, "left_anti")
+    new_rows = new_rows.persist()
+    try:
+        n = new_rows.count()
+        if n:
+            new_rows.write.mode("append").parquet(sink_path)
+    finally:
+        new_rows.unpersist()
+    return n
+
+
+def write_sinks(
+    spark: SparkSession,
+    out_dir: str,
+    events: DataFrame,
+    systemd: DataFrame,
+) -> dict:
+    """Fan-out (K1-K5): one writer per sink table. Returns appended counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    intr_path = os.path.join(out_dir, "intrusion_log")
+    sysd_path = os.path.join(out_dir, "systemd_log_messages")
+    n_intr = append_dedup(spark, intr_path, to_intrusion_log(dedup_intrusions(events)))
+    sysd = to_systemd_log_messages(systemd)
+    sysd.write.mode("append").parquet(sysd_path)
+    return {"intrusion_log": n_intr, "systemd_log_messages": sysd.count()}

@@ -17,9 +17,42 @@ for the 100 TB design point (SURVEY.md §4, §7):
 from __future__ import annotations
 
 import os
+import zipfile
 from typing import Optional
 
 from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_PKG_DIR)
+
+
+def _package_zip() -> str:
+    """Zip this package for shipping to executors (the programmatic analog
+    of ``spark-submit --py-files``). Rebuilt when sources are newer."""
+    out = os.path.join(_REPO_ROOT, "data", "security_log_analysis_rust_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    sources = []
+    for root, _, files in os.walk(_PKG_DIR):
+        for f in files:
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    if not os.path.exists(out) or os.path.getmtime(out) < max(
+        os.path.getmtime(s) for s in sources
+    ):
+        tmp = out + f".tmp-{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for s in sources:
+                z.write(s, os.path.relpath(s, _REPO_ROOT))
+        os.replace(tmp, out)
+    return out
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executors (idempotent)."""
+    sc = spark.sparkContext
+    if not getattr(sc, "_sla_pkg_shipped", False):
+        sc.addPyFile(_package_zip())
+        sc._sla_pkg_shipped = True
 
 
 def get_spark(
@@ -60,7 +93,9 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
 
 
 def configure(spark: SparkSession) -> SparkSession:
@@ -72,4 +107,5 @@ def configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass
+    ship_package(spark)
     return spark
