@@ -420,9 +420,11 @@ def q_emb_top1(spark, sf_dir):
             F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
+    # spread the probe side across cores; the candidate side broadcasts
+    # (BroadcastNestedLoopJoin), so the N x N pair explosion parallelizes
     pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a_id") != F.col("b_id"))
+        a.repartition(32)
+        .join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
         .select(
             "a_id",
             "b_id",
@@ -435,6 +437,34 @@ def q_emb_top1(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select(F.col("a_id").alias("vec_id"), F.col("b_id").alias("neighbor_id"), "sim")
     )
+
+
+# --- rows-only operators (not SQL-expressible; driver records weaker check) --
+
+def q_docs_simhash(spark, sf_dir):
+    from security_log_analysis_rust_spark.textops.simhash import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_docs_simhash_dups(spark, sf_dir):
+    from security_log_analysis_rust_spark.textops.simhash import simhash_near_dups
+
+    # word-soup synthetic docs share vocabulary heavily, so distances are
+    # compressed; a tight radius keeps this a near-dup (not near-half) result
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6, n_bands=8)
+
+
+def q_emb_topk_bruteforce(spark, sf_dir):
+    from security_log_analysis_rust_spark.textops.ann import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), k=5)
+
+
+def q_emb_topk_lsh(spark, sf_dir):
+    from security_log_analysis_rust_spark.textops.ann import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), k=5, n_bits=4, n_tables=8)
 
 
 # --------------------------------------------------------------------------
@@ -475,6 +505,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "emb_top1": q_emb_top1,
+        # rows-only (no SQL-expressible oracle): simhash uses xxhash64,
+        # ANN paths use numpy mapInPandas / seeded hyperplanes
+        "docs_simhash": q_docs_simhash,
+        "docs_simhash_dups": q_docs_simhash_dups,
+        "emb_topk_bruteforce": q_emb_topk_bruteforce,
+        "emb_topk_lsh": q_emb_topk_lsh,
     }
 
 

@@ -1,0 +1,82 @@
+"""Kill/resume correctness: a killed run resumes without recomputing
+completed splits and produces sinks identical to an uninterrupted run
+(BASELINE.md 'Resume')."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import TESTDATA_SF_SMALL
+
+from security_log_analysis_rust_spark.pipeline.checkpoint import (
+    metrics,
+    read_sinks,
+    run_incremental,
+)
+from security_log_analysis_rust_spark.synth import ensure_synthetic
+
+
+@pytest.fixture(scope="module")
+def pages_dir():
+    return ensure_synthetic(TESTDATA_SF_SMALL)["pages"]
+
+
+def _sink_signature(spark, sink_dir):
+    intr, sysd = read_sinks(spark, sink_dir)
+    intr_rows = sorted(
+        (r.service, r.server, r.datetime, r.host, r.username)
+        for r in intr.collect()
+    )
+    sysd_rows = sorted(
+        (r.log_level, r.log_unit, r.log_message, r.log_timestamp)
+        for r in sysd.collect()
+    )
+    return intr_rows, sysd_rows
+
+
+def test_kill_and_resume_matches_clean_run(spark, tmp_path_factory, pages_dir):
+    clean = str(tmp_path_factory.mktemp("clean"))
+    killed = str(tmp_path_factory.mktemp("killed"))
+
+    r = run_incremental(spark, pages_dir, clean, files_per_split=2)
+    assert r.splits_completed == r.splits_total > 1
+
+    # killed run: crash after 2 splits
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_incremental(spark, pages_dir, killed, files_per_split=2, fail_after_splits=2)
+    m = metrics(killed)
+    assert m["splits"] == 2
+
+    # resume: completed splits are skipped, the rest run
+    r2 = run_incremental(spark, pages_dir, killed, files_per_split=2)
+    assert r2.splits_skipped == 2
+    assert r2.splits_completed == r2.splits_total - 2
+
+    assert _sink_signature(spark, killed) == _sink_signature(spark, clean)
+
+
+def test_rerun_is_noop(spark, tmp_path_factory, pages_dir):
+    sink = str(tmp_path_factory.mktemp("noop"))
+    run_incremental(spark, pages_dir, sink, files_per_split=3)
+    before = _sink_signature(spark, sink)
+    r = run_incremental(spark, pages_dir, sink, files_per_split=3)
+    assert r.splits_completed == 0 and r.splits_skipped == r.splits_total
+    assert _sink_signature(spark, sink) == before
+
+
+def test_crash_between_write_and_manifest_is_idempotent(
+    spark, tmp_path_factory, pages_dir
+):
+    """Simulate the torn state: sink written but manifest missing."""
+    import glob
+    import os
+
+    sink = str(tmp_path_factory.mktemp("torn"))
+    run_incremental(spark, pages_dir, sink, files_per_split=2)
+    clean_sig = _sink_signature(spark, sink)
+    # tear off the last manifest => its split re-runs on resume
+    manifests = sorted(glob.glob(os.path.join(sink, "_manifests", "*.json")))
+    os.remove(manifests[-1])
+    r = run_incremental(spark, pages_dir, sink, files_per_split=2)
+    assert r.splits_completed == 1
+    assert _sink_signature(spark, sink) == clean_sig

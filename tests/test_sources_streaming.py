@@ -1,0 +1,151 @@
+"""Tests for file sources (glob/gzip, mtime year), JSON import/export, and
+the Structured Streaming journald ingest."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import REFERENCE_AUTH_LOG
+
+SSH_LINE = (
+    "Jun 24 00:07:25 dilepton-tower sshd[15932]: Invalid user test from "
+    "36.110.50.217 port 28898\n"
+)
+NOISE = "Jun 24 00:07:26 dilepton-tower sshd[15932]: Failed password for root\n"
+
+
+def test_glob_gz_and_plain(spark, tmp_path):
+    from security_log_analysis_rust_spark.sources.logfiles import (
+        parse_auth_glob,
+        read_log_files,
+    )
+
+    plain = tmp_path / "auth.log"
+    plain.write_text(SSH_LINE + NOISE)
+    with gzip.open(tmp_path / "auth.log.1.gz", "wt") as f:
+        f.write(SSH_LINE.replace("00:07:25", "01:08:25") + NOISE)
+    # pin mtime year deterministically (2021-06-01)
+    for p in (plain, tmp_path / "auth.log.1.gz"):
+        os.utime(p, (1622505600, 1622505600))
+
+    lines = read_log_files(spark, str(tmp_path / "auth"))
+    assert lines.count() == 4  # gz transparently decompressed
+    assert set(r.year for r in lines.select("year").distinct().collect()) == {2021}
+
+    ev = parse_auth_glob(spark, str(tmp_path / "auth"))
+    rows = ev.collect()
+    assert len(rows) == 2
+    assert all(r.host == "36.110.50.217" and r.username == "test" for r in rows)
+    assert {r.datetime.year for r in rows} == {2021}
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_AUTH_LOG), reason="fixture absent")
+def test_glob_reference_fixture_counts(spark, tmp_path):
+    from security_log_analysis_rust_spark.sources.logfiles import parse_auth_glob
+
+    dst = tmp_path / "test_auth.log"
+    shutil.copyfile(REFERENCE_AUTH_LOG, dst)
+    ev = parse_auth_glob(spark, str(tmp_path / "test_auth"))
+    # 20 parsed -> 18 after unique-key dedup (parse_logs.rs:586-604)
+    assert ev.count() == 18
+
+
+def test_export_import_roundtrip(spark, tmp_path):
+    from security_log_analysis_rust_spark.sources.logfiles import (
+        export_json,
+        import_json,
+    )
+    from security_log_analysis_rust_spark.pipeline.route import to_intrusion_log
+    from security_log_analysis_rust_spark.synth import ensure_synthetic
+    from security_log_analysis_rust_spark.pipeline.parse import extract_events
+    from security_log_analysis_rust_spark.pipeline.route import dedup_intrusions
+
+    pages = spark.read.parquet(ensure_synthetic("/root/testdata/sf0.001")["pages"])
+    intr = to_intrusion_log(dedup_intrusions(extract_events(pages)["events"]))
+    out = str(tmp_path / "export")
+    export_json(intr, out, limit=100)
+    back = import_json(spark, out)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "service", "server", "datetime", "host", "username"}
+
+
+def _write_journald_file(path, lines):
+    with open(path, "w") as f:
+        for rec in lines:
+            f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+
+
+def test_streaming_journald_ingest(spark, tmp_path):
+    from security_log_analysis_rust_spark.streaming.journald_stream import (
+        start_journald_ingest,
+    )
+    from security_log_analysis_rust_spark.pipeline.checkpoint import read_sinks
+
+    indir = tmp_path / "in"
+    sink = tmp_path / "sink"
+    indir.mkdir()
+    base_us = 1_704_067_200_000_000
+    _write_journald_file(
+        indir / "a.json",
+        [
+            {"__REALTIME_TIMESTAMP": str(base_us), "MESSAGE": "Invalid user eve from 1.2.3.4 port 22", "UNIT": "ssh.service"},
+            {"__REALTIME_TIMESTAMP": str(base_us + 1), "MESSAGE": "ERROR: something broke", "UNIT": "app.service"},
+        ],
+    )
+    q = start_journald_ingest(spark, str(indir), str(sink), available_now=True)
+    q.awaitTermination(120)
+    intr, sysd = read_sinks(spark, str(sink))
+    assert intr.count() == 1
+    r = intr.collect()[0]
+    assert (r.service, r.host, r.username) == ("ssh", "1.2.3.4", "eve")
+    assert sysd.count() == 1 and sysd.collect()[0].log_level == "error"
+
+    # second micro-batch: one duplicate (same unique key) + one new event
+    _write_journald_file(
+        indir / "b.json",
+        [
+            {"__REALTIME_TIMESTAMP": str(base_us), "MESSAGE": "Invalid user eve from 1.2.3.4 port 22", "UNIT": "ssh.service"},
+            {"__REALTIME_TIMESTAMP": str(base_us + 5_000_000), "MESSAGE": "Invalid user bob from 5.6.7.8 port 22", "UNIT": "ssh.service"},
+        ],
+    )
+    q = start_journald_ingest(spark, str(indir), str(sink), available_now=True)
+    q.awaitTermination(120)
+    intr, _ = read_sinks(spark, str(sink))
+    assert intr.count() == 2  # duplicate suppressed (ON CONFLICT analog)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from security_log_analysis_rust_spark.streaming.journald_stream import (
+        windowed_intrusion_counts,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base_us = 1_704_067_200_000_000
+    _write_journald_file(
+        indir / "a.json",
+        [
+            {"__REALTIME_TIMESTAMP": str(base_us + i * 60_000_000),
+             "MESSAGE": f"Invalid user u{i} from 9.9.9.9 port {i}", "UNIT": "ssh.service"}
+            for i in range(5)
+        ],
+    )
+    out = (
+        windowed_intrusion_counts(spark, str(indir), window="1 hour")
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    rows = spark.sql("select * from wincounts").collect()
+    assert len(rows) == 1
+    assert rows[0]["count"] == 5 and rows[0].host == "9.9.9.9"
