@@ -201,6 +201,14 @@ def q_per_host(spark, sf_dir):
     return per_host_counts(_intrusion(spark, sf_dir))
 
 
+def q_per_host_salted(spark, sf_dir):
+    """Same result as per_host via the explicit two-stage salted aggregation
+    (north_rule skew handling) — checked against the same oracle."""
+    from security_log_analysis_rust_spark.pipeline.aggregate import salted_count
+
+    return salted_count(_intrusion(spark, sf_dir), key="host")
+
+
 def q_per_day(spark, sf_dir):
     from security_log_analysis_rust_spark.pipeline.aggregate import per_day_counts
 
@@ -488,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_country_recent": q_per_country_recent,
         "top10_countries": q_top10_countries,
         "per_host": q_per_host,
+        "per_host_salted": q_per_host_salted,
         "per_day": q_per_day,
         "year_month": q_year_month,
         "dangling_hosts": q_dangling_hosts,
@@ -718,6 +727,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c.country ORDER BY count DESC, c.country ASC LIMIT 10"
         ),
         "per_host": P(
+            "SELECT host, count(*) AS count FROM intrusion GROUP BY host"
+        ),
+        "per_host_salted": P(
             "SELECT host, count(*) AS count FROM intrusion GROUP BY host"
         ),
         "per_day": P(

@@ -234,11 +234,12 @@ def parse_journald_lines(
     return ssh.unionByName(nginx), systemd
 
 
-def extract_events(pages: DataFrame) -> dict:
-    """Full parse stage: pages -> {events, systemd, lines}.
+def extract_events_union(pages: DataFrame) -> dict:
+    """Parse stage as a union of the per-source branch operators.
 
-    ``events`` = union of ssh-auth, apache-CLF, journald-ssh and
-    journald-nginx extractions — the pre-sink event stream (EVENTS_SCHEMA).
+    Definitional form (each branch mirrors one reference parser 1:1); kept
+    for per-branch queries and as the equivalence oracle for the fused
+    single-pass plan below.
     """
     lines = pages_to_lines(pages)
     ssh = parse_ssh_lines(lines)
@@ -246,3 +247,136 @@ def extract_events(pages: DataFrame) -> dict:
     j_intr, systemd = parse_journald_lines(lines)
     events = ssh.unionByName(apache).unionByName(j_intr).select(*_EVENT_COLS)
     return {"events": events, "systemd": systemd, "lines": lines}
+
+
+def extract_events(
+    pages: DataFrame,
+    filters: Sequence[str] = DEFAULT_SYSTEMD_LOG_FILTERS,
+) -> dict:
+    """Full parse stage, fused single-pass: pages -> {events, systemd, lines}.
+
+    Semantically identical to :func:`extract_events_union` (tested), but the
+    whole route is ONE projection over ONE explode of ONE scan, and the
+    pandas UDF runs once per line instead of once per branch. At 100 TB the
+    input scan dominates, so branch unions (3-4 scans) are the wrong plan;
+    this is the plan you'd want: scan -> narrow project/filter, zero
+    redundant passes.
+    """
+    line = F.col("line")
+    is_j = is_journald(line)
+    is_ssh = is_ssh_auth(line)
+    blacklist = reduce(or_, [line.contains(f) for f in filters])
+
+    rec = F.from_json(F.when(is_j, line), JOURNALD_SCHEMA)
+    jts = F.timestamp_micros(rec["__REALTIME_TIMESTAMP"].try_cast("long"))
+    j_valid = is_j & ~blacklist & jts.isNotNull()
+    has_invalid_user = line.contains("Invalid user ")
+
+    toks = F.split(F.trim(line), r"\s+")
+    ssh_ts = F.try_to_timestamp(
+        F.concat_ws(
+            " ",
+            F.get("toks", 0),
+            F.get("toks", 1),
+            F.year("warc_ts").cast("string"),
+            F.get("toks", 2),
+        ),
+        F.lit("MMM d yyyy HH:mm:ss"),
+    )
+    apache_ts = F.try_to_timestamp(
+        F.regexp_replace(F.concat(F.get("toks", 3), F.get("toks", 4)), r"[\[\]]", ""),
+        F.lit("d/MMM/yyyy:HH:mm:ssxx"),
+    )
+    apache_host = F.substring(F.get("toks", 0), 1, 60)
+
+    mtoks = F.split(F.trim(F.col("msg")), r"\s+")
+    nginx_host = F.substring(F.get(mtoks, 2), 1, 60)
+    nginx_ok = (
+        F.col("j_valid")
+        & ~F.col("has_iu")
+        & line.contains("nginx")
+        & (F.size(mtoks) >= 3)
+        & nginx_host.rlike(IPV4_RE)
+    )
+    level = (
+        F.when(line.contains("err") | line.contains("ERR"), "error")
+        .when(line.contains("warn") | line.contains("WARN"), "warn")
+        .when(line.contains("info") | line.contains("INFO"), "info")
+        .when(line.contains("debug") | line.contains("DEBUG"), "debug")
+    )
+
+    parsed = (
+        pages_to_lines(pages)
+        .withColumn("j_valid", j_valid)
+        .withColumn("has_iu", has_invalid_user)
+        .withColumn("msg", rec["MESSAGE"])
+        .withColumn("unit", rec["UNIT"])
+        .withColumn("jts", jts)
+        .withColumn("toks", toks)
+        # one Arrow UDF pass serves both the ssh-auth and journald-ssh paths
+        .withColumn(
+            "ex",
+            invalid_user_udf(
+                F.when(F.col("j_valid") & F.col("has_iu"), F.col("msg")).when(
+                    is_ssh & (F.size("toks") >= 10), line
+                )
+            ),
+        )
+        .withColumn(
+            "kind",
+            F.when(
+                F.col("j_valid") & F.col("has_iu") & F.col("ex.host").isNotNull(),
+                "jssh",
+            )
+            .when(nginx_ok, "jnginx")
+            .when(F.col("j_valid") & ~F.col("has_iu") & level.isNotNull(), "systemd")
+            .when(
+                is_ssh
+                & (F.size("toks") >= 10)
+                & ssh_ts.isNotNull()
+                & F.col("ex.host").isNotNull(),
+                "ssh",
+            )
+            .when(
+                ~is_j
+                & ~is_ssh
+                & (F.size("toks") >= 5)
+                & apache_host.contains(".")
+                & apache_ts.isNotNull(),
+                "apache",
+            ),
+        )
+    )
+
+    events = parsed.filter(
+        F.col("kind").isin("ssh", "apache", "jssh", "jnginx")
+    ).select(
+        "url",
+        "line_no",
+        F.when(F.col("kind").isin("ssh", "jssh"), "ssh")
+        .when(F.col("kind") == "jnginx", "nginx")
+        .otherwise("apache")
+        .alias("service"),
+        server_col().alias("server"),
+        F.when(F.col("kind").isin("jssh", "jnginx"), F.col("jts"))
+        .when(F.col("kind") == "ssh", ssh_ts)
+        .otherwise(apache_ts)
+        .alias("datetime"),
+        F.when(F.col("kind").isin("ssh", "jssh"), F.col("ex.host"))
+        .when(F.col("kind") == "jnginx", nginx_host)
+        .otherwise(apache_host)
+        .alias("host"),
+        F.when(F.col("kind").isin("ssh", "jssh"), F.col("ex.username")).alias(
+            "username"
+        ),
+    )
+
+    systemd = parsed.filter(F.col("kind") == "systemd").select(
+        "url",
+        "line_no",
+        level.alias("log_level"),
+        F.col("unit").alias("log_unit"),
+        F.col("msg").alias("log_message"),
+        F.col("jts").alias("log_timestamp"),
+    )
+    return {"events": events, "systemd": systemd, "lines": pages_to_lines(pages)}
