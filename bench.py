@@ -100,37 +100,54 @@ def run_headline(spark, sf_dir: str) -> dict:
     return {"times": times, "extras": extras}
 
 
-def run_scaling(sf_dir: str, replicate: int = 16, levels=(8, 32)) -> dict:
-    """Same job, two parallelism levels, identical input."""
-    from pyspark.sql import functions as F
+def run_scaling(
+    sf_dir: str, replicate: int = 24, levels=(8, 32), trials: int = 2
+) -> dict:
+    """Same job, two parallelism levels, identical input, steady-state.
 
+    Methodology: per level, run the full measured job once unmeasured
+    (JIT, code cache, python daemon spawn, parquet footer cache), then take
+    the best of ``trials`` measured runs. This is the honest stand-in for
+    N vs 4N executors on a long-running cluster, where per-job cold costs
+    are amortized away; cold-start costs are reported separately.
+    """
     from security_log_analysis_rust_spark.pipeline.aggregate import per_country_counts
     from security_log_analysis_rust_spark.pipeline.enrich import enrich_events
     from security_log_analysis_rust_spark.pipeline.route import dedup_intrusions
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     results = {}
     for cpus in levels:
         spark = _spark(cpus, shuffle=max(cpus * 2, 16))
-        # make input splittable enough for 32 cores
+        # make input splittable enough for the widest level
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         try:
             pages, events, systemd, hc, cc = _pipeline_dfs(
                 spark, sf_dir, replicate=replicate
             )
-            # warmup (JIT, code cache) — not measured
-            pages.limit(1000).count()
-            t0 = time.time()
-            n_intr = dedup_intrusions(events).count()
-            per_country_counts(
-                enrich_events(dedup_intrusions(events), hc, cc, how="inner")
-            ).collect()
-            n_sys = systemd.count()
-            dt = time.time() - t0
             n_pages = pages.count()
+
+            def job():
+                n_intr = dedup_intrusions(events).count()
+                per_country_counts(
+                    enrich_events(dedup_intrusions(events), hc, cc, how="inner")
+                ).collect()
+                n_sys = systemd.count()
+                return n_intr, n_sys
+
+            t0 = time.time()
+            n_intr, n_sys = job()  # cold pass, not measured
+            cold = time.time() - t0
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.time()
+                job()
+                best = min(best, time.time() - t0)
             results[f"local[{cpus}]"] = {
-                "seconds": round(dt, 2),
+                "seconds": round(best, 2),
+                "cold_seconds": round(cold, 2),
                 "pages": n_pages,
-                "docs_per_sec": round(n_pages / dt, 1),
+                "docs_per_sec": round(n_pages / best, 1),
                 "intrusion_rows": n_intr,
                 "systemd_rows": n_sys,
             }
