@@ -105,60 +105,157 @@ def run_scaling(
 ) -> dict:
     """Same job, two parallelism levels, identical input, steady-state.
 
-    Methodology: per level, run the full measured job once unmeasured
-    (JIT, code cache, python daemon spawn, parquet footer cache), then take
-    the best of ``trials`` measured runs. This is the honest stand-in for
-    N vs 4N executors on a long-running cluster, where per-job cold costs
-    are amortized away; cold-start costs are reported separately.
+    Methodology: each level runs in its OWN subprocess (py4j keeps one JVM
+    per python process alive across SparkContext restarts, so measuring two
+    levels in-process hands the second level the first one's GC debt). Per
+    level: one unmeasured warm pass (JIT, code cache, python daemons,
+    parquet footer cache), then best of ``trials`` measured runs — the
+    honest stand-in for N vs 4N executors on a long-running cluster, where
+    per-job cold costs amortize away; cold times are reported separately.
     """
-    from security_log_analysis_rust_spark.pipeline.aggregate import per_country_counts
+    import subprocess
+
+    # The sandbox VM has noisy-neighbor variance on the scale of minutes;
+    # alternate the levels across rounds and keep each level's best round so
+    # both levels sample the same noise distribution.
+    rounds = 2
+    results = {}
+    for rnd in range(rounds):
+        for cpus in levels:
+            r = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--scaling-level", str(cpus),
+                    "--sf-dir", sf_dir,
+                    "--replicate", str(replicate),
+                    "--trials", str(trials),
+                ],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"scaling level {cpus} failed: {r.stderr[-2000:]}"
+                )
+            lvl = json.loads(r.stdout.strip().splitlines()[-1])
+            key = f"local[{cpus}]"
+            if key not in results or lvl["seconds"] < results[key]["seconds"]:
+                best_parse = min(
+                    lvl["parse_seconds"],
+                    results.get(key, lvl)["parse_seconds"],
+                )
+                results[key] = lvl
+                results[key]["parse_seconds"] = best_parse
+                results[key]["parse_docs_per_sec"] = round(
+                    lvl["pages"] / best_parse, 1
+                )
+    lo, hi = f"local[{levels[0]}]", f"local[{levels[1]}]"
+    ratio = levels[1] / levels[0]
+    speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
+    results["speedup"] = round(speedup, 3)
+    results["core_ratio"] = ratio
+    results["scaling_efficiency"] = round(speedup / ratio, 3)
+    p_speedup = results[hi]["parse_docs_per_sec"] / results[lo]["parse_docs_per_sec"]
+    results["parse_speedup"] = round(p_speedup, 3)
+    results["parse_scaling_efficiency"] = round(p_speedup / ratio, 3)
+    return results
+
+
+def run_scaling_level(
+    sf_dir: str, cpus: int, replicate: int = 24, trials: int = 2
+) -> dict:
+    """One parallelism level of the scaling benchmark (run in a fresh
+    process)."""
+    import shutil
+    import tempfile
+
     from security_log_analysis_rust_spark.pipeline.enrich import enrich_events
-    from security_log_analysis_rust_spark.pipeline.route import dedup_intrusions
+    from security_log_analysis_rust_spark.pipeline.route import (
+        dedup_intrusions,
+        to_intrusion_log,
+        to_systemd_log_messages,
+    )
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    results = {}
-    for cpus in levels:
-        spark = _spark(cpus, shuffle=max(cpus * 2, 16))
-        # make input splittable enough for the widest level
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
-        try:
+    spark = _spark(cpus, shuffle=max(cpus * 2, 16))
+    # make input splittable enough for the widest level
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    try:
+        if True:
             pages, events, systemd, hc, cc = _pipeline_dfs(
                 spark, sf_dir, replicate=replicate
             )
             n_pages = pages.count()
 
-            def job():
-                n_intr = dedup_intrusions(events).count()
-                per_country_counts(
-                    enrich_events(dedup_intrusions(events), hc, cc, how="inner")
-                ).collect()
-                n_sys = systemd.count()
-                return n_intr, n_sys
+            from pyspark.sql import functions as F
+
+            from security_log_analysis_rust_spark.pipeline.aggregate import (
+                per_country_counts,
+            )
+            from security_log_analysis_rust_spark.pipeline.parse import (
+                extract_events,
+            )
+            from security_log_analysis_rust_spark.pipeline.route import (
+                write_sinks_single_pass,
+            )
+
+            routed = extract_events(pages)["routed"]
+
+            def job(verify: bool = False):
+                """The north-rule unit of work: parse -> enrich -> route ->
+                aggregate. One scan, one shuffle, one partitioned write for
+                BOTH sinks; per-country enrichment aggregate reads back the
+                (small) intrusion sink. Row-count verification only on the
+                unmeasured cold pass."""
+                out = tempfile.mkdtemp(prefix=f"bench-sink-{cpus}-")
+                try:
+                    write_sinks_single_pass(routed, out)
+                    intr = spark.read.parquet(out).filter(
+                        F.col("sink") == "intrusion_log"
+                    )
+                    per_country_counts(
+                        enrich_events(intr, hc, cc, how="inner")
+                    ).collect()
+                    if not verify:
+                        return None, None
+                    n_intr = intr.count()
+                    n_sys = (
+                        spark.read.parquet(out)
+                        .filter(F.col("sink") == "systemd_log_messages")
+                        .count()
+                    )
+                    return n_intr, n_sys
+                finally:
+                    shutil.rmtree(out, ignore_errors=True)
 
             t0 = time.time()
-            n_intr, n_sys = job()  # cold pass, not measured
+            n_intr, n_sys = job(verify=True)  # cold pass, not measured
             cold = time.time() - t0
             best = float("inf")
             for _ in range(trials):
                 t0 = time.time()
                 job()
                 best = min(best, time.time() - t0)
-            results[f"local[{cpus}]"] = {
+            # parse-stage-only throughput: the input-scan-bound stage that
+            # dominates at the 100 TB design point
+            events.count()
+            parse_best = float("inf")
+            for _ in range(trials):
+                t0 = time.time()
+                events.count()
+                parse_best = min(parse_best, time.time() - t0)
+            level_result = {
                 "seconds": round(best, 2),
                 "cold_seconds": round(cold, 2),
+                "parse_seconds": round(parse_best, 2),
                 "pages": n_pages,
                 "docs_per_sec": round(n_pages / best, 1),
+                "parse_docs_per_sec": round(n_pages / parse_best, 1),
                 "intrusion_rows": n_intr,
                 "systemd_rows": n_sys,
             }
-        finally:
-            spark.stop()
-    lo, hi = f"local[{levels[0]}]", f"local[{levels[1]}]"
-    speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
-    results["speedup"] = round(speedup, 3)
-    results["core_ratio"] = levels[1] / levels[0]
-    results["scaling_efficiency"] = round(speedup / (levels[1] / levels[0]), 3)
-    return results
+    finally:
+        spark.stop()
+    return level_result
 
 
 def main():
@@ -170,8 +267,17 @@ def main():
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--replicate", type=int, default=16)
+    ap.add_argument("--scaling-level", type=int, default=None,
+                    help="internal: run one scaling level in this process")
+    ap.add_argument("--replicate", type=int, default=24)
+    ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
+
+    if args.scaling_level is not None:
+        print(json.dumps(run_scaling_level(
+            args.sf_dir, args.scaling_level,
+            replicate=args.replicate, trials=args.trials)))
+        return
 
     sf = os.path.basename(os.path.normpath(args.sf_dir))
     result = {
@@ -181,7 +287,9 @@ def main():
     }
 
     if args.scaling:
-        scaling = run_scaling(args.sf_dir, replicate=args.replicate)
+        scaling = run_scaling(
+            args.sf_dir, replicate=args.replicate, trials=args.trials
+        )
         result["scaling"] = scaling
         result["value"] = scaling[f"local[{32}]"]["seconds"]
         result["queries"] = {}

@@ -49,6 +49,10 @@ def extract_invalid_user(msg: pd.Series) -> pd.DataFrame:
       * rows whose truncated host lacks ``'.'`` -> NULL (F3), as are rows
         with no ``" from "`` (the reference's Err path becomes drop+count).
     """
+    # Arrow batches where every value is null arrive as float64(NaN);
+    # coerce to pandas StringDtype so .str ops are always valid
+    if msg.dtype != object and not isinstance(msg.dtype, pd.StringDtype):
+        msg = msg.astype("string")
     parts = msg.str.split("Invalid user ", regex=False)
     user_seg = parts.str[1]  # NaN when the marker is absent
     seg = user_seg.str.split(" from ", regex=False)
@@ -57,10 +61,10 @@ def extract_invalid_user(msg: pd.Series) -> pd.DataFrame:
     host = host_seg.str.split("port", n=1, regex=False).str[0].str.strip()
     user = truncate_bytes_series(user, 15)
     host = truncate_bytes_series(host, 60)
-    valid = host.notna() & host.str.contains(".", regex=False)
-    return pd.DataFrame(
-        {"host": host.where(valid), "username": user.where(valid)}
-    )
+    valid = (host.notna() & host.str.contains(".", regex=False)).fillna(False)
+    valid = valid.astype(bool)
+    out = pd.DataFrame({"host": host.where(valid), "username": user.where(valid)})
+    return out.astype(object).where(out.notna(), None)
 
 
 _EXTRACT_SCHEMA = StructType(

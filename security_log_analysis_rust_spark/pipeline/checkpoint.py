@@ -117,7 +117,8 @@ def run_incremental(
 
         t0 = time.time()
         pages = spark.read.parquet(*files)
-        out = extract_events(pages)
+        # one materialized parse feeds both sinks (no re-scan per sink)
+        out = extract_events(pages, persist=True)
         events = dedup_intrusions(out["events"])
 
         if watermark and os.path.exists(intr_path):
@@ -133,15 +134,18 @@ def run_incremental(
                 .drop("__wm")
             )
 
-        n_intr = append_dedup(
-            spark, intr_path, to_intrusion_log(events), key=UNIQUE_KEY
-        )
-        sysd = to_systemd_log_messages(out["systemd"])
-        n_sysd = sysd.count()
-        # per-split overwrite => idempotent re-run without a unique key
-        sysd.write.mode("overwrite").parquet(
-            os.path.join(sysd_path, f"split={sid}")
-        )
+        try:
+            n_intr = append_dedup(
+                spark, intr_path, to_intrusion_log(events), key=UNIQUE_KEY
+            )
+            sysd = to_systemd_log_messages(out["systemd"])
+            n_sysd = sysd.count()
+            # per-split overwrite => idempotent re-run without a unique key
+            sysd.write.mode("overwrite").parquet(
+                os.path.join(sysd_path, f"split={sid}")
+            )
+        finally:
+            out["parsed"].unpersist()
 
         manifest = {
             "split_id": sid,

@@ -252,6 +252,7 @@ def extract_events_union(pages: DataFrame) -> dict:
 def extract_events(
     pages: DataFrame,
     filters: Sequence[str] = DEFAULT_SYSTEMD_LOG_FILTERS,
+    persist: bool = False,
 ) -> dict:
     """Full parse stage, fused single-pass: pages -> {events, systemd, lines}.
 
@@ -305,7 +306,11 @@ def extract_events(
         .when(line.contains("debug") | line.contains("DEBUG"), "debug")
     )
 
-    parsed = (
+    # Stage 1: UDF-independent routing (kind0) — cheap JVM predicates only,
+    # so the row-dropping filter never references the Python UDF (Catalyst
+    # duplicates a UDF referenced across a Filter boundary into two
+    # ArrowEvalPython passes).
+    parsed0 = (
         pages_to_lines(pages)
         .withColumn("j_valid", j_valid)
         .withColumn("has_iu", has_invalid_user)
@@ -313,30 +318,12 @@ def extract_events(
         .withColumn("unit", rec["UNIT"])
         .withColumn("jts", jts)
         .withColumn("toks", toks)
-        # one Arrow UDF pass serves both the ssh-auth and journald-ssh paths
-        .withColumn(
-            "ex",
-            invalid_user_udf(
-                F.when(F.col("j_valid") & F.col("has_iu"), F.col("msg")).when(
-                    is_ssh & (F.size("toks") >= 10), line
-                )
-            ),
-        )
         .withColumn(
             "kind",
-            F.when(
-                F.col("j_valid") & F.col("has_iu") & F.col("ex.host").isNotNull(),
-                "jssh",
-            )
+            F.when(F.col("j_valid") & F.col("has_iu"), "jssh")
             .when(nginx_ok, "jnginx")
             .when(F.col("j_valid") & ~F.col("has_iu") & level.isNotNull(), "systemd")
-            .when(
-                is_ssh
-                & (F.size("toks") >= 10)
-                & ssh_ts.isNotNull()
-                & F.col("ex.host").isNotNull(),
-                "ssh",
-            )
+            .when(is_ssh & (F.size("toks") >= 10) & ssh_ts.isNotNull(), "ssh")
             .when(
                 ~is_j
                 & ~is_ssh
@@ -346,37 +333,82 @@ def extract_events(
                 "apache",
             ),
         )
+        .filter(F.col("kind").isNotNull())
     )
 
-    events = parsed.filter(
-        F.col("kind").isin("ssh", "apache", "jssh", "jnginx")
-    ).select(
+    # Stage 2: ONE Arrow UDF pass serves both ssh paths; rows whose
+    # extraction fails (no ' from ' / dot-less host) are dropped via an
+    # explode-barrier instead of a filter, keeping the plan at a single
+    # ArrowEvalPython node.
+    is_ssh_kind = F.col("kind").isin("ssh", "jssh")
+    parsed = parsed0.withColumn(
+        "ex",
+        invalid_user_udf(
+            F.when(F.col("kind") == "jssh", F.col("msg")).when(
+                F.col("kind") == "ssh", line
+            )
+        ),
+    ).withColumn(
+        "__keep",
+        F.explode(
+            F.when(
+                ~is_ssh_kind | F.col("ex.host").isNotNull(),
+                F.array(F.lit(1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ),
+    )
+
+    if persist:
+        # both sinks consume `parsed`; materialize the (filtered, post-UDF)
+        # frame once so the fan-out doesn't re-run the scan+explode+UDF per
+        # sink. Caller unpersists via result["parsed"].unpersist().
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Unified routed projection: every surviving line is exactly one sink
+    # row, so the whole fan-out is ONE narrow select — single-pass writers
+    # (route.write_sinks_single_pass) consume this directly and never
+    # rescan the input per sink.
+    is_intr = F.col("kind").isin("ssh", "apache", "jssh", "jnginx")
+    routed = parsed.select(
         "url",
         "line_no",
+        F.when(is_intr, "intrusion_log")
+        .otherwise("systemd_log_messages")
+        .alias("sink"),
         F.when(F.col("kind").isin("ssh", "jssh"), "ssh")
         .when(F.col("kind") == "jnginx", "nginx")
-        .otherwise("apache")
+        .when(F.col("kind") == "apache", "apache")
         .alias("service"),
         server_col().alias("server"),
         F.when(F.col("kind").isin("jssh", "jnginx"), F.col("jts"))
         .when(F.col("kind") == "ssh", ssh_ts)
-        .otherwise(apache_ts)
+        .when(F.col("kind") == "apache", apache_ts)
         .alias("datetime"),
         F.when(F.col("kind").isin("ssh", "jssh"), F.col("ex.host"))
         .when(F.col("kind") == "jnginx", nginx_host)
-        .otherwise(apache_host)
+        .when(F.col("kind") == "apache", apache_host)
         .alias("host"),
         F.when(F.col("kind").isin("ssh", "jssh"), F.col("ex.username")).alias(
             "username"
         ),
+        F.when(~is_intr, level).alias("log_level"),
+        F.when(~is_intr, F.col("unit")).alias("log_unit"),
+        F.when(~is_intr, F.col("msg")).alias("log_message"),
+        F.when(~is_intr, F.col("jts")).alias("log_timestamp"),
     )
 
-    systemd = parsed.filter(F.col("kind") == "systemd").select(
-        "url",
-        "line_no",
-        level.alias("log_level"),
-        F.col("unit").alias("log_unit"),
-        F.col("msg").alias("log_message"),
-        F.col("jts").alias("log_timestamp"),
+    events = routed.filter(F.col("sink") == "intrusion_log").select(
+        "url", "line_no", "service", "server", "datetime", "host", "username"
     )
-    return {"events": events, "systemd": systemd, "lines": pages_to_lines(pages)}
+    systemd = routed.filter(F.col("sink") == "systemd_log_messages").select(
+        "url", "line_no", "log_level", "log_unit", "log_message", "log_timestamp"
+    )
+    return {
+        "events": events,
+        "systemd": systemd,
+        "routed": routed,
+        "lines": pages_to_lines(pages),
+        "parsed": parsed,
+    }

@@ -35,17 +35,29 @@ UNIQUE_KEY = ["service", "server", "datetime", "host"]
 
 
 def dedup_intrusions(events: DataFrame) -> DataFrame:
-    """Keep one row per unique key, deterministically (K1/O5/O8)."""
-    order = [F.col("username").asc_nulls_first()]
+    """Keep one row per unique key, deterministically (K1/O5/O8).
+
+    Implemented as ``groupBy(key).agg(min_by(row, order))`` rather than a
+    ``row_number`` window: the hash aggregate gets map-side partial
+    combining, so the shuffle carries ~unique-keys rows instead of every
+    event — the window variant's sort was the pipeline's worst-scaling
+    stage (1.7x from 8->32 cores vs 5x for the parse).
+
+    Order = (username ASC NULLS FIRST, url, line_no): deterministic
+    keep-first; NULL is encoded below '' so the winner is reproducible.
+    """
+    ord_fields = [
+        F.col("username").isNotNull().cast("int"),  # NULL (0) sorts first
+        F.coalesce(F.col("username"), F.lit("")),
+    ]
     for c in ("url", "line_no"):
         if c in events.columns:
-            order.append(F.col(c).asc())
-    w = Window.partitionBy(*UNIQUE_KEY).orderBy(*order)
-    return (
-        events.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+            ord_fields.append(F.col(c))
+    payload = F.struct(*[F.col(c) for c in events.columns])
+    picked = events.groupBy(*UNIQUE_KEY).agg(
+        F.min_by(payload, F.struct(*ord_fields)).alias("__row")
     )
+    return picked.select("__row.*")
 
 
 def to_intrusion_log(deduped: DataFrame) -> DataFrame:
@@ -108,6 +120,53 @@ def append_dedup(
     finally:
         new_rows.unpersist()
     return n
+
+
+def write_sinks_single_pass(routed: DataFrame, out_dir: str) -> None:
+    """Fan-out both sinks in ONE job: scan -> narrow route projection ->
+    one dedup shuffle -> one partitioned write.
+
+    This is the 100 TB plan: the input is scanned exactly once regardless of
+    sink count. Dedup happens in the same shuffle for intrusion rows (their
+    key is the sink unique key) while systemd rows pass through (their key
+    is the row identity ``url#line_no`` — the reference's systemd table has
+    no unique constraint, duplicates are legal and preserved).
+    """
+    intr = F.col("sink") == "intrusion_log"
+    key = F.when(
+        intr,
+        F.concat_ws(
+            "\x01", "service", "server", F.col("datetime").cast("string"), "host"
+        ),
+    ).otherwise(F.concat_ws("\x01", "url", F.col("line_no").cast("string")))
+    order = F.struct(
+        F.col("username").isNotNull().cast("int"),
+        F.coalesce(F.col("username"), F.lit("")),
+        F.col("url"),
+        F.col("line_no"),
+    )
+    payload = F.struct(*[F.col(c) for c in routed.columns])
+    picked = (
+        routed.withColumn("__key", key)
+        .groupBy("sink", "__key")
+        .agg(F.min_by(payload, order).alias("__row"))
+        .select("__row.*")
+    )
+    # drop the duplicated sink inside __row and provenance columns; stamp ids
+    out = picked.select(
+        "sink",
+        F.expr("uuid()").alias("id"),
+        "service",
+        "server",
+        "datetime",
+        "host",
+        "username",
+        "log_level",
+        "log_unit",
+        "log_message",
+        "log_timestamp",
+    )
+    out.write.mode("overwrite").partitionBy("sink").parquet(out_dir)
 
 
 def write_sinks(

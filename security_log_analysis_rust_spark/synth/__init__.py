@@ -16,10 +16,25 @@ import os
 from .dims import write_dims
 from .pages import write_pages
 
-REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-DATA_DIR = os.path.join(REPO_ROOT, "data")
+def _default_data_dir() -> str:
+    """Synthetic-data directory.
+
+    Honors ``$SPARK_GRAFT_DATA_DIR``; otherwise lives under the repo root —
+    unless the package is imported from a ``--py-files`` zip (``__file__``
+    inside an archive), in which case fall back to the working directory.
+    """
+    env = os.environ.get("SPARK_GRAFT_DATA_DIR")
+    if env:
+        return env
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if ".zip" in root:
+        return os.path.join(os.getcwd(), "data")
+    return os.path.join(root, "data")
+
+
+DATA_DIR = _default_data_dir()
 
 #: pages per scale factor (≈40 log lines per page)
 N_PAGES = {"sf0.001": 120, "sf0.01": 1200, "sf0.1": 12000}

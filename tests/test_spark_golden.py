@@ -97,3 +97,15 @@ def test_spark_journald_golden_single(spark):
     row = df.collect()[0]
     assert row.ex.host == "43.154.144.211"
     assert row.ex.username == "ark"
+
+
+def test_udf_all_null_batch(spark):
+    """Regression: Arrow hands the UDF a float64(NaN) column when every
+    value in a batch is null — the bank must not crash on it."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("noise",), ("more noise",)], "line string")
+    out = df.select(
+        invalid_user_udf(F.when(F.lit(False), F.col("line"))).alias("ex")
+    ).collect()
+    assert all(r.ex.host is None and r.ex.username is None for r in out)
