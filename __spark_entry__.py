@@ -360,7 +360,7 @@ def q_docs_jaccard_pairs(spark, sf_dir):
     sh = _doc_shingles(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = F.broadcast(sh.alias("b"))  # shingle set is tiny; avoid SMJ
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -398,7 +398,7 @@ def q_docs_minhash_lsh(spark, sf_dir):
         ).alias("bucket")
     )
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    b = F.broadcast(buckets.alias("b"))
     return (
         a.join(
             b,
