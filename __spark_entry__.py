@@ -356,11 +356,30 @@ def q_docs_quality(spark, sf_dir):
     )
 
 
+#: document-frequency cap for the shingle self-join: a shingle present in
+#: more than DF_CAP documents is boilerplate and would contribute |df|^2
+#: candidate rows (the hot-shingle quadratic blowup). Dropping it bounds the
+#: join's per-key fan-out; the oracle applies the identical cap. Recall
+#: contract: intersections are counted over sub-cap shingles only, while set
+#: sizes stay exact — pairs held together ONLY by boilerplate shingles are
+#: not reported.
+JACCARD_DF_CAP = 100
+
+
 def q_docs_jaccard_pairs(spark, sf_dir):
     sh = _doc_shingles(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = F.broadcast(sh.alias("b"))  # shingle set is tiny; avoid SMJ
+    # df >= 2 is a pure optimization (singleton shingles can't pair);
+    # df <= JACCARD_DF_CAP is the semantic cap mirrored by the oracle.
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    keep = freq.filter(
+        (F.col("df") >= 2) & (F.col("df") <= JACCARD_DF_CAP)
+    ).select("sh")
+    shk = sh.join(keep, "sh")
+    # shuffle hash/sort-merge self-join on the shingle key — no broadcast
+    # hints: every frame here grows with the corpus (AQE may still elect a
+    # broadcast at small scale from measured sizes, which is fine).
+    a, b = shk.alias("a"), shk.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -368,7 +387,7 @@ def q_docs_jaccard_pairs(spark, sf_dir):
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))
-    j = inter.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+    j = inter.join(sa, "a_id").join(sb, "b_id")
     return (
         j.withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
         .filter(F.col("inter") * 2 >= F.col("uni"))  # jaccard >= 0.5, exact ints
@@ -377,28 +396,36 @@ def q_docs_jaccard_pairs(spark, sf_dir):
 
 
 def q_docs_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH candidate pairs: 8 md5-minhashes, 4 bands of 2."""
+    """MinHash-LSH candidate pairs: 8 md5-minhashes, 4 bands of 2.
+
+    All 8 signature mins are computed in ONE groupBy pass over the shingle
+    rows (8 min-aggregates, map-side combining) — no seed explode (which
+    multiplied shuffle input 8x) and no broadcast of the corpus-sized bucket
+    frame (the band join shuffles on (band, bucket))."""
     sh = _doc_shingles(_docs(spark, sf_dir))
-    seeded = sh.select(
-        "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s")
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+            for s in range(8)
+        ]
     )
-    sig = seeded.groupBy("doc_id", "s").agg(
-        F.min(F.md5(F.concat(F.col("s").cast("string"), F.lit(":"), F.col("sh")))).alias("mh")
-    )
-    band = sig.withColumn("band", F.floor(F.col("s") / 2).cast("int"))
-    buckets = band.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("s", "mh"))),
-                    lambda x: x["mh"],
-                ),
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", f"mh{2 * band}", f"mh{2 * band + 1}")
+                        ).alias("bucket"),
+                    )
+                    for band in range(4)
+                ]
             )
-        ).alias("bucket")
-    )
-    a = buckets.alias("a")
-    b = F.broadcast(buckets.alias("b"))
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
             b,
@@ -447,7 +474,16 @@ def q_emb_top1(spark, sf_dir):
     )
 
 
-# --- rows-only operators (not SQL-expressible; driver records weaker check) --
+# --- simhash / ANN (oracle-paired since r2; shared literal constants only) --
+
+#: fixed parameters shared by the Spark queries and their oracles
+SIMHASH_BANDS = 8
+SIMHASH_RADIUS = 6
+ANN_K = 5
+ANN_BITS = 4
+ANN_TABLES = 8
+EMB_DIM = 64
+
 
 def q_docs_simhash(spark, sf_dir):
     from security_log_analysis_rust_spark.textops.simhash import simhash
@@ -460,19 +496,23 @@ def q_docs_simhash_dups(spark, sf_dir):
 
     # word-soup synthetic docs share vocabulary heavily, so distances are
     # compressed; a tight radius keeps this a near-dup (not near-half) result
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6, n_bands=8)
+    return simhash_near_dups(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_RADIUS, n_bands=SIMHASH_BANDS
+    )
 
 
 def q_emb_topk_bruteforce(spark, sf_dir):
     from security_log_analysis_rust_spark.textops.ann import brute_force_topk
 
-    return brute_force_topk(_emb(spark, sf_dir), k=5)
+    return brute_force_topk(_emb(spark, sf_dir), k=ANN_K)
 
 
 def q_emb_topk_lsh(spark, sf_dir):
     from security_log_analysis_rust_spark.textops.ann import lsh_topk
 
-    return lsh_topk(_emb(spark, sf_dir), k=5, n_bits=4, n_tables=8)
+    return lsh_topk(
+        _emb(spark, sf_dir), k=ANN_K, n_bits=ANN_BITS, n_tables=ANN_TABLES
+    )
 
 
 # --------------------------------------------------------------------------
@@ -514,8 +554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "emb_top1": q_emb_top1,
-        # rows-only (no SQL-expressible oracle): simhash uses xxhash64,
-        # ANN paths use numpy mapInPandas / seeded hyperplanes
         "docs_simhash": q_docs_simhash,
         "docs_simhash_dups": q_docs_simhash_dups,
         "emb_topk_bruteforce": q_emb_topk_bruteforce,
@@ -672,6 +710,111 @@ shing AS (
 """
 
 
+def _simhash_sig_cte() -> str:
+    """DuckDB CTEs computing the same 64-bit simhash as textops.simhash:
+    md5 token hash split into two 32-bit halves (hex cast), 64 sign-sums,
+    signature assembled via HUGEINT and converted to the signed long."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    huge = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST('{1 << i}' AS HUGEINT) "
+        "ELSE CAST('0' AS HUGEINT) END"
+        for i in range(64)
+    )
+    signed = (
+        "CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT) "
+        "THEN u - CAST('18446744073709551616' AS HUGEINT) ELSE u END"
+    )
+    return (
+        r"WITH tok AS (SELECT doc_id, unnest(list_distinct("
+        r"string_split_regex(lower(trim(text)), '\W+'))) AS tok FROM documents), "
+        "th AS (SELECT doc_id, "
+        "TRY_CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi, "
+        "TRY_CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo "
+        "FROM tok WHERE length(tok) > 0), "
+        f"bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id), "
+        f"hsum AS (SELECT doc_id, {huge} AS u FROM bits), "
+        f"sig AS (SELECT doc_id, CAST({signed} AS BIGINT) AS simhash FROM hsum)"
+    )
+
+
+def _simhash_dups_sql() -> str:
+    width = 64 // SIMHASH_BANDS
+    band_rows = ", ".join(
+        f"({b}, CAST('{1 << (b * width)}' AS HUGEINT))"
+        for b in range(SIMHASH_BANDS)
+    )
+    return _simhash_sig_cte() + (
+        ", uns AS (SELECT doc_id, simhash, CASE WHEN simhash < 0 "
+        "THEN CAST(simhash AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) "
+        "ELSE CAST(simhash AS HUGEINT) END AS u FROM sig), "
+        f"bd(band, d) AS (VALUES {band_rows}), "
+        "bands AS (SELECT doc_id, simhash, band, "
+        f"CAST((u // d) % {1 << width} AS BIGINT) AS key FROM uns CROSS JOIN bd), "
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "a.simhash AS sa, b.simhash AS sb FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) "
+        "SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_RADIUS}"
+    )
+
+
+_EMB_V_CTE = (
+    "WITH v AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
+)
+
+_EMB_SIM = (
+    "round(list_sum(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2])) / "
+    "(sqrt(list_sum(list_transform(a.e, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6)"
+)
+
+
+def _emb_topk_bruteforce_sql() -> str:
+    return _EMB_V_CTE + (
+        f", pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_EMB_SIM} AS sim "
+        "FROM v a, v b WHERE a.vec_id != b.vec_id) "
+        "SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rn AS INT) AS rank, sim "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY a_id "
+        "ORDER BY sim DESC, b_id ASC) AS rn FROM pairs) t "
+        f"WHERE rn <= {ANN_K}"
+    )
+
+
+def _emb_topk_lsh_sql() -> str:
+    """Same seeded hyperplanes as textops.ann.seeded_planes, embedded as
+    literals (shared deterministic constants; independent implementations)."""
+    from security_log_analysis_rust_spark.textops.ann import seeded_planes
+
+    planes = seeded_planes(ANN_TABLES, ANN_BITS, EMB_DIM, seed=7)
+    rows = ", ".join(
+        f"({t}, {b}, CAST([{', '.join(repr(x) for x in planes[t][b])}] AS DOUBLE[]))"
+        for t in range(ANN_TABLES)
+        for b in range(ANN_BITS)
+    )
+    return _EMB_V_CTE + (
+        f", planes(tbl, bit, plane) AS (VALUES {rows}), "
+        "bits AS (SELECT vec_id, tbl, CASE WHEN "
+        "list_sum(list_transform(list_zip(e, plane), z -> z[1] * z[2])) > 0 "
+        "THEN (1 << bit) ELSE 0 END AS bv FROM v CROSS JOIN planes), "
+        "buckets AS (SELECT vec_id, tbl, CAST(sum(bv) AS BIGINT) AS bucket "
+        "FROM bits GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
+        "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "AND a.vec_id != b.vec_id), "
+        f"sims AS (SELECT a_id, b_id, {_EMB_SIM} AS sim FROM cand "
+        "JOIN v a ON cand.a_id = a.vec_id JOIN v b ON cand.b_id = b.vec_id) "
+        "SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rn AS INT) AS rank, sim "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY a_id "
+        "ORDER BY sim DESC, b_id ASC) AS rn FROM sims) t "
+        f"WHERE rn <= {ANN_K}"
+    )
+
+
 def _pipeline_sql(select: str) -> str:
     from security_log_analysis_rust_spark.synth import ensure_synthetic
 
@@ -818,8 +961,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_jaccard_pairs": _DOC_SHINGLE_CTE + (
             ", sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY 1), "
+            # document-frequency cap mirrors JACCARD_DF_CAP: intersections
+            # count sub-cap shingles only; sizes stay exact
+            "freq AS (SELECT sh, count(*) AS df FROM shing GROUP BY 1), "
+            f"shk AS (SELECT s.doc_id, s.sh FROM shing s JOIN freq f "
+            f"ON s.sh = f.sh WHERE f.df <= {JACCARD_DF_CAP}), "
             "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter "
-            "FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id "
+            "FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id "
             "GROUP BY 1, 2) "
             "SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni "
             "FROM pairs JOIN sizes sa ON a_id = sa.doc_id "
@@ -850,4 +998,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY a_id "
             "ORDER BY sim DESC, b_id ASC) AS rn FROM pairs) t WHERE rn = 1"
         ),
+        "docs_simhash": _simhash_sig_cte() + " SELECT doc_id, simhash FROM sig",
+        "docs_simhash_dups": _simhash_dups_sql(),
+        "emb_topk_bruteforce": _emb_topk_bruteforce_sql(),
+        "emb_topk_lsh": _emb_topk_lsh_sql(),
     }

@@ -5,16 +5,18 @@ verbs::
     python -m security_log_analysis_rust_spark parse   --pages DIR --sink DIR
     python -m security_log_analysis_rust_spark db      --sink DIR --out DIR
     python -m security_log_analysis_rust_spark read    --out DIR [--service s]
-    python -m security_log_analysis_rust_spark export  --sink DIR --path P
-    python -m security_log_analysis_rust_spark import  --sink DIR --path P
+    python -m security_log_analysis_rust_spark export  --sink DIR --path P [--table T]
+    python -m security_log_analysis_rust_spark import  --sink DIR --path P [--table T]
     python -m security_log_analysis_rust_spark report  --sink DIR --html P
+    python -m security_log_analysis_rust_spark serve   --sink DIR --dims DIR
     python -m security_log_analysis_rust_spark daemon  --in DIR --sink DIR
 
 parse  = incremental checkpointed ingest (E1 analog)
 db     = monthly enriched parquet export (E2 step 1, K5)
 read   = per-country counts from the export, top-10 print (E2 step 2, A2/O3)
-export/import = JSON out/in (K7/S9)
+export/import = JSON out/in, --table intrusion_log|host_country (K7/S9)
 report = per-country counts + geochart HTML (E3/K8)
+serve  = HTTP read API + TTL result cache (security_log_http.rs analog)
 daemon = streaming journald follow (S5)
 """
 
@@ -54,19 +56,32 @@ def main(argv=None) -> int:
     p.add_argument("--service", default=None)
     p.add_argument("--server", default=None)
 
-    p = sub.add_parser("export", help="intrusion rows -> JSON (limit 1000)")
-    p.add_argument("--sink", required=True)
+    p = sub.add_parser("export", help="table rows -> JSON (limit 1000)")
+    p.add_argument("--sink", required=True,
+                   help="sink dir (intrusion_log) or dims dir (host_country)")
     p.add_argument("--path", required=True)
     p.add_argument("--limit", type=int, default=1000)
+    p.add_argument("--table", default="intrusion_log",
+                   choices=["intrusion_log", "host_country"])
 
-    p = sub.add_parser("import", help="JSON -> intrusion sink (dedup append)")
-    p.add_argument("--sink", required=True)
+    p = sub.add_parser("import", help="JSON -> table (dedup append / upsert)")
+    p.add_argument("--sink", required=True,
+                   help="sink dir (intrusion_log) or dims dir (host_country)")
     p.add_argument("--path", required=True)
+    p.add_argument("--table", default="intrusion_log",
+                   choices=["intrusion_log", "host_country"])
 
     p = sub.add_parser("report", help="per-country counts + geochart HTML")
     p.add_argument("--sink", required=True)
     p.add_argument("--dims", required=True)
     p.add_argument("--html", default=None)
+
+    p = sub.add_parser("serve", help="HTTP read API (security_log_http.rs)")
+    p.add_argument("--sink", required=True)
+    p.add_argument("--dims", required=True)
+    p.add_argument("--export", default=None, help="monthly export dir for /all")
+    p.add_argument("--port", type=int,
+                   default=4086)  # reference default (security_log_http.rs:609-612)
 
     p = sub.add_parser("daemon", help="streaming journald follow")
     p.add_argument("--input", required=True)
@@ -102,8 +117,12 @@ def _dispatch(spark, args) -> int:
 
         from .pipeline.enrich import enrich_events
         from .pipeline.export import export_monthly
+        from .pipeline.route import read_sink
+        from .schemas import INTRUSION_LOG_SCHEMA
 
-        intr = spark.read.parquet(os.path.join(args.sink, "intrusion_log"))
+        intr = read_sink(
+            spark, os.path.join(args.sink, "intrusion_log"), INTRUSION_LOG_SCHEMA
+        )
         hc = spark.read.parquet(os.path.join(args.dims, "host_country.parquet"))
         cc = spark.read.parquet(os.path.join(args.dims, "country_code.parquet"))
         enriched = enrich_events(intr, hc, cc).select(
@@ -127,24 +146,52 @@ def _dispatch(spark, args) -> int:
         return 0
 
     if args.cmd == "export":
+        # --table per src/parse_opts.rs:262-297 (both tables, limit 1000)
         import os
 
         from .sources.logfiles import export_json
+        from .pipeline.route import read_sink
+        from .schemas import HOST_COUNTRY_SCHEMA, INTRUSION_LOG_SCHEMA
 
-        intr = spark.read.parquet(os.path.join(args.sink, "intrusion_log"))
-        export_json(intr, args.path, limit=args.limit)
-        print(json.dumps({"exported": min(args.limit, intr.count())}))
+        if args.table == "host_country":
+            df = spark.read.parquet(os.path.join(args.sink, "host_country.parquet"))
+            df = df.select(*[f.name for f in HOST_COUNTRY_SCHEMA.fields])
+        else:
+            df = read_sink(
+                spark, os.path.join(args.sink, "intrusion_log"), INTRUSION_LOG_SCHEMA
+            )
+        export_json(df, args.path, limit=args.limit)
+        print(json.dumps({"exported": min(args.limit, df.count()),
+                          "table": args.table}))
         return 0
 
     if args.cmd == "import":
+        # --table per src/parse_opts.rs:232-260: intrusion_log -> ON CONFLICT
+        # DO NOTHING analog; host_country -> per-row upsert (models.rs:110-124)
         import os
 
-        from .pipeline.route import append_dedup
+        from .pipeline.route import UNIQUE_KEY, append_dedup
         from .sources.logfiles import import_json
 
+        if args.table == "host_country":
+            from .pipeline.dims import overwrite_dim, upsert_host_country
+            from .schemas import HOST_COUNTRY_SCHEMA
+
+            dim_path = os.path.join(args.sink, "host_country.parquet")
+            updates = spark.read.schema(HOST_COUNTRY_SCHEMA).json(args.path)
+            existing = spark.read.parquet(dim_path)
+            merged = upsert_host_country(existing, updates).persist()
+            n_new = merged.count() - existing.count()
+            overwrite_dim(merged, dim_path)
+            merged.unpersist()
+            print(json.dumps({"appended": n_new, "table": args.table}))
+            return 0
         rows = import_json(spark, args.path)
+        # within-batch duplicates on the unique key must collapse too — the
+        # reference's sequential INSERT ... ON CONFLICT does this implicitly
+        rows = rows.dropDuplicates(UNIQUE_KEY)
         n = append_dedup(spark, os.path.join(args.sink, "intrusion_log"), rows)
-        print(json.dumps({"appended": n}))
+        print(json.dumps({"appended": n, "table": args.table}))
         return 0
 
     if args.cmd == "report":
@@ -153,8 +200,12 @@ def _dispatch(spark, args) -> int:
         from .pipeline.aggregate import per_country_counts
         from .pipeline.enrich import enrich_events
         from .pipeline.export import country_report_html
+        from .pipeline.route import read_sink
+        from .schemas import INTRUSION_LOG_SCHEMA
 
-        intr = spark.read.parquet(os.path.join(args.sink, "intrusion_log"))
+        intr = read_sink(
+            spark, os.path.join(args.sink, "intrusion_log"), INTRUSION_LOG_SCHEMA
+        )
         hc = spark.read.parquet(os.path.join(args.dims, "host_country.parquet"))
         cc = spark.read.parquet(os.path.join(args.dims, "country_code.parquet"))
         pc = per_country_counts(enrich_events(intr, hc, cc, how="inner"))
@@ -164,6 +215,19 @@ def _dispatch(spark, args) -> int:
         else:
             for r in pc.limit(10).collect():
                 print(f"{r['country']}\t{r['count']}")
+        return 0
+
+    if args.cmd == "serve":
+        from .http_api import SecurityLogApp, serve
+        from .pipeline.dims import classify_whois_line
+
+        app = SecurityLogApp(
+            spark, args.sink, args.dims, export_dir=args.export,
+            resolver=lambda h: classify_whois_line(f"country: ZZ # {h}"),
+        )
+        srv = serve(app, port=args.port)
+        print(json.dumps({"serving": srv.server_address[1]}), flush=True)
+        srv.serve_forever()
         return 0
 
     if args.cmd == "daemon":

@@ -246,7 +246,12 @@ def parse_journald_line(
     unit = rec.get("UNIT")
     ts = journald_datetime(rec["__REALTIME_TIMESTAMP"])
     if "Invalid user " in line:
-        parsed = parse_log_message(message)
+        try:
+            parsed = parse_log_message(message)
+        except ValueError:
+            # 'Invalid user' without ' from ': reference parse_sshd errors
+            # out; pipeline drops + counts — match the Spark drop semantics
+            parsed = None
         if parsed is None:
             # reference: parse_sshd errors out; pipeline drops + counts
             return None

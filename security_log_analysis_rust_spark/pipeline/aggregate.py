@@ -89,7 +89,15 @@ def max_datetime(
 
 
 def overall_watermark(events: DataFrame, server: str) -> DataFrame:
-    """A5 (``src/models.rs:510-528``): min of the ssh-max and nginx-max."""
+    """A5 (``src/models.rs:510-528``): min of the ssh-max and nginx-max.
+
+    Documented deviation (SURVEY §7.4.4 style): the reference falls back to
+    ``now_utc()`` when the ssh-max is absent (so a nginx-only server yields
+    now(), and an empty server yields now()); this implementation returns the
+    deterministic min-of-present-maxes — nginx-max for a nginx-only server,
+    and an EMPTY result for a server with neither — because a wall-clock
+    fallback would break reproducibility (every oracle comparison pins time).
+    """
     per_service = (
         events.filter(F.col("server") == server)
         .filter(F.col("service").isin("ssh", "nginx"))

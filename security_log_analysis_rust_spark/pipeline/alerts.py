@@ -17,7 +17,7 @@ stamp. Ordering is the queue's total order, so the fold is reproducible.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
@@ -67,7 +67,11 @@ def build_alert_batches(
         .select("id", "log_level", "log_message", "log_timestamp")
         .collect()
     )
-    as_of = as_of or (rows[-1].log_timestamp if rows else datetime.utcnow())
+    as_of = as_of or (
+        rows[-1].log_timestamp
+        if rows
+        else datetime.now(timezone.utc).replace(tzinfo=None)
+    )
     batches: List[AlertBatch] = []
     current: Optional[AlertBatch] = None
     for r in rows:

@@ -39,6 +39,7 @@ from .route import (
     UNIQUE_KEY,
     append_dedup,
     dedup_intrusions,
+    read_sink,
     to_intrusion_log,
     to_systemd_log_messages,
 )
@@ -69,18 +70,22 @@ def _manifest_path(manifest_dir: str, split_id: str) -> str:
 
 
 def completed_splits(manifest_dir: str) -> set:
+    return {m["split_id"] for m in _read_manifests(manifest_dir)}
+
+
+def _read_manifests(manifest_dir: str) -> List[dict]:
     if not os.path.isdir(manifest_dir):
-        return set()
-    done = set()
+        return []
+    out = []
     for p in glob.glob(os.path.join(manifest_dir, "*.json")):
         try:
             with open(p) as f:
                 m = json.load(f)
             if m.get("status") == "completed":
-                done.add(m["split_id"])
+                out.append(m)
         except (json.JSONDecodeError, KeyError):
             continue  # torn manifest = not committed
-    return done
+    return out
 
 
 def run_incremental(
@@ -104,7 +109,18 @@ def run_incremental(
     sysd_path = os.path.join(sink_dir, "systemd_log_messages")
 
     splits = plan_splits(input_dir, files_per_split)
-    done = completed_splits(manifest_dir)
+    prior = _read_manifests(manifest_dir)
+    # A resume with a different split layout would leave the per-split
+    # systemd overwrite directories covering overlapping line ranges
+    # (duplicating rows); refuse rather than silently mixing layouts.
+    prior_layouts = {m.get("files_per_split") for m in prior} - {None}
+    if prior_layouts and prior_layouts != {files_per_split}:
+        raise ValueError(
+            f"sink {sink_dir} has manifests with files_per_split="
+            f"{sorted(prior_layouts)}; refusing to resume with "
+            f"files_per_split={files_per_split}"
+        )
+    done = {m["split_id"] for m in prior}
     report = RunReport(splits_total=len(splits))
 
     for i, files in enumerate(splits):
@@ -134,9 +150,16 @@ def run_incremental(
                 .drop("__wm")
             )
 
+        # the split's min(datetime) bounds the anti-join's sink scan: the
+        # month-partitioned sink prunes to >= that month instead of a full
+        # re-scan per split (one cheap agg over the already-persisted parse)
+        since_row = events.agg(F.min("datetime")).first()[0]
+        since = since_row.isoformat(sep=" ") if since_row is not None else None
+
         try:
             n_intr = append_dedup(
-                spark, intr_path, to_intrusion_log(events), key=UNIQUE_KEY
+                spark, intr_path, to_intrusion_log(events), key=UNIQUE_KEY,
+                since=since,
             )
             sysd = to_systemd_log_messages(out["systemd"])
             n_sysd = sysd.count()
@@ -150,6 +173,7 @@ def run_incremental(
         manifest = {
             "split_id": sid,
             "status": "completed",
+            "files_per_split": files_per_split,
             "input_files": [os.path.basename(f) for f in files],
             "rows": {"intrusion_appended": n_intr, "systemd": n_sysd},
             "duration_sec": round(time.time() - t0, 3),
@@ -166,7 +190,11 @@ def run_incremental(
 
 
 def read_sinks(spark: SparkSession, sink_dir: str):
-    intr = spark.read.parquet(os.path.join(sink_dir, "intrusion_log"))
+    from ..schemas import INTRUSION_LOG_SCHEMA
+
+    intr = read_sink(
+        spark, os.path.join(sink_dir, "intrusion_log"), INTRUSION_LOG_SCHEMA
+    )
     sysd_glob = os.path.join(sink_dir, "systemd_log_messages")
     sysd = (
         spark.read.option("recursiveFileLookup", "true").parquet(sysd_glob)

@@ -21,6 +21,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def overwrite_dim(df: DataFrame, path: str) -> None:
+    """Atomically replace a dim table at ``path`` (file OR directory) with
+    ``df``: write to a sibling tmp dir first (the source may be ``path``
+    itself), then swap. The Iceberg table-commit analog for plain parquet."""
+    import os
+    import shutil
+
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.replace(tmp, path)
+
+
 def upsert_host_country(existing: DataFrame, updates: DataFrame) -> DataFrame:
     """MERGE INTO analog: updates win over existing rows on the host key."""
     e = existing.withColumn("__src", F.lit(0))
@@ -40,19 +56,31 @@ def enrich_new_hosts(
     resolver: Callable[[str], Optional[str]],
 ) -> DataFrame:
     """Cache-through enrichment: resolve hosts missing from the dim and
-    return the upserted dim. The resolver runs driver-side over the
-    (small) distinct dangling-host set — exactly the reference's per-miss
-    whois loop, minus the network."""
+    return the upserted dim (``src/host_country_metadata.rs:49-101``).
+
+    The resolver runs DISTRIBUTED via ``mapInPandas`` over the dangling-host
+    DataFrame — the dangling set is unbounded at scale, so it is never
+    collected to the driver (the reference's per-miss whois loop becomes a
+    per-partition loop inside each Arrow batch). Hosts the resolver can't
+    classify (None) are skipped, like the reference's failed whois lookups.
+    """
+    import pandas as pd
+
     from .enrich import dangling_hosts
 
-    missing = [r.host for r in dangling_hosts(events, host_country).collect()]
-    resolved = [(h, resolver(h)) for h in missing]
-    rows = [(h, c, None, None) for h, c in resolved if c is not None]
-    if not rows:
-        return host_country
-    spark = host_country.sparkSession
-    updates = spark.createDataFrame(
-        rows, "host string, code string, ipaddr string, created_at timestamp"
+    missing = dangling_hosts(events, host_country)
+
+    def gen(batches):
+        for pdf in batches:
+            codes = pdf["host"].map(resolver)
+            out = pd.DataFrame({"host": pdf["host"], "code": codes})
+            yield out[out["code"].notna()]
+
+    updates = missing.mapInPandas(gen, "host string, code string").select(
+        "host",
+        "code",
+        F.lit(None).cast("string").alias("ipaddr"),
+        F.lit(None).cast("timestamp").alias("created_at"),
     )
     return upsert_host_country(host_country, updates)
 
@@ -60,10 +88,12 @@ def enrich_new_hosts(
 def classify_whois_line(line: str) -> Optional[str]:
     """P8: classify one whois output line to a country code.
 
-    Faithful to ``src/host_country_metadata.rs:219-241``: uppercase the line,
-    apply the special cases (KOREA->KR, .BR->BR, COMCAST CABLE->US,
-    HINET-NET->TW, .JP->JP), else take the token after a ``COUNTRY:`` tag.
-    Returns ``"BREAK"`` sentinel semantics as None (QUERY RATE = give up).
+    Faithful to ``src/host_country_metadata.rs:219-241`` (``process_line``)
+    including its caller's ``to_uppercase`` at ``:148``: special cases
+    (KOREA->KR, ends-with .BR->BR, COMCAST CABLE->US, HINET-NET->TW,
+    contains .JP->JP), else the second whitespace token when the FIRST token
+    is exactly ``COUNTRY:`` — kept whole (e.g. ``NLD``), not truncated.
+    ``QUERY RATE`` = the reference's Break sentinel -> None (give up).
     """
     u = line.upper()
     if "QUERY RATE" in u:
@@ -76,12 +106,11 @@ def classify_whois_line(line: str) -> Optional[str]:
         return "US"
     if "HINET-NET" in u:
         return "TW"
-    if u.endswith(".JP"):
+    if ".JP" in u:
         return "JP"
-    if "COUNTRY:" in u:
-        toks = u.split("COUNTRY:", 1)[1].split()
-        if toks:
-            return toks[0][:2]
+    toks = u.split()[:2]
+    if len(toks) >= 2 and toks[0] == "COUNTRY:":
+        return toks[1]
     return None
 
 

@@ -52,6 +52,9 @@ def merge_parquet_files(
     out_df = spark.read.parquet(tmp)
     n = out_df.count()
     out_df.write.mode("overwrite").parquet(output)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return n
 
 

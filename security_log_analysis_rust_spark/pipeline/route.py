@@ -87,10 +87,28 @@ def to_systemd_log_messages(systemd: DataFrame) -> DataFrame:
 
 
 def read_sink(spark: SparkSession, path: str, schema) -> DataFrame:
-    """Read a parquet sink table; empty DataFrame if it doesn't exist yet."""
+    """Read a parquet sink table projected to ``schema``'s columns (drops the
+    physical partition column); empty DataFrame if it doesn't exist yet."""
     if os.path.exists(path):
-        return spark.read.schema(schema).parquet(path)
+        return spark.read.parquet(path).select(*[f.name for f in schema.fields])
     return spark.createDataFrame([], schema)
+
+
+#: intrusion sink partition column: month(datetime), written as 'yyyy-MM'
+MONTH_COL = "dt_month"
+
+
+def sink_month_filter(df: DataFrame, since: str) -> DataFrame:
+    """Prune a month-partitioned sink read to ``datetime >= since``.
+
+    The coarse predicate on :data:`MONTH_COL` is what Spark turns into
+    *partition pruning* (directories skipped, zero IO); the exact predicate
+    on ``datetime`` then applies within the boundary month.
+    """
+    month = str(since)[:7]
+    if MONTH_COL in df.columns:
+        df = df.filter(F.col(MONTH_COL) >= F.lit(month))
+    return df.filter(F.col("datetime") >= F.lit(since))
 
 
 def append_dedup(
@@ -103,20 +121,25 @@ def append_dedup(
     """ON CONFLICT DO NOTHING analog: drop rows whose key already exists in
     the sink, then append. Returns the number of appended rows.
 
-    ``since`` (ISO timestamp) prunes the sink scan to the incremental range —
-    at scale the sink is partitioned by month(datetime) so this becomes
-    partition pruning, keeping the anti-join's build side small.
+    The sink is written partitioned by month(datetime) (:data:`MONTH_COL`),
+    so the ``since`` bound (ISO timestamp; callers pass the split's
+    min(datetime)) prunes the anti-join's sink scan to the incremental
+    months via partition pruning — a 100 TB sink is never fully re-scanned
+    per split. Correctness: every new row has ``datetime >= since``, so any
+    conflicting sink row lies in the pruned range by construction.
     """
     if os.path.exists(sink_path):
-        existing = spark.read.parquet(sink_path).select(*key)
+        existing = spark.read.parquet(sink_path)
         if since is not None:
-            existing = existing.filter(F.col("datetime") >= F.lit(since))
-        new_rows = new_rows.join(existing, key, "left_anti")
-    new_rows = new_rows.persist()
+            existing = sink_month_filter(existing, since)
+        new_rows = new_rows.join(existing.select(*key), key, "left_anti")
+    new_rows = new_rows.withColumn(
+        MONTH_COL, F.date_format("datetime", "yyyy-MM")
+    ).persist()
     try:
         n = new_rows.count()
         if n:
-            new_rows.write.mode("append").parquet(sink_path)
+            new_rows.write.mode("append").partitionBy(MONTH_COL).parquet(sink_path)
     finally:
         new_rows.unpersist()
     return n

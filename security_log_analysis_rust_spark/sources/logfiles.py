@@ -111,12 +111,23 @@ def parse_auth_glob(
 
 def read_journald_json(spark: SparkSession, path: str) -> DataFrame:
     """S4: journald JSONL lines (kept raw; routing happens in
-    pipeline.parse.parse_journald_lines over a (url, line_no, line) frame)."""
+    pipeline.parse.parse_journald_lines over a (url, line_no, line) frame).
+
+    ``line_no`` is the DETERMINISTIC per-file line index (``wholetext`` +
+    ``posexplode``), not ``monotonically_increasing_id()`` — mid values
+    change with partitioning/retries, which made the dedup tiebreak
+    (url, line_no) unstable. Tradeoff: each file is read by one task;
+    journald export files are size-bounded by rotation, so per-file
+    parallelism (many files) is the natural unit here anyway.
+    """
     return (
-        spark.read.text(path)
-        .withColumnRenamed("value", "line")
-        .withColumn("url", F.input_file_name())
-        .withColumn("line_no", F.monotonically_increasing_id())
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("url"),
+            F.posexplode(F.split("value", "\n")).alias("line_no", "line"),
+        )
+        .filter(F.length("line") > 0)
+        .withColumn("line_no", F.col("line_no").cast("long"))
         .withColumn("warc_ts", F.current_timestamp())
         .select("url", "warc_ts", "line_no", "line")
     )

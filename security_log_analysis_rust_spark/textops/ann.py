@@ -2,16 +2,26 @@
 
 Two paths:
 
-* ``brute_force_topk`` — numpy-batched exact top-k via ``mapInPandas``: the
-  candidate matrix broadcasts to every task and each Arrow batch of probes
-  does one BLAS matmul. This is the baseline and also the within-bucket
-  kernel. Scales to the point where the candidate matrix fits executor
-  memory (~10M x 128 floats = 5 GB); beyond that, shard candidates and merge
-  per-shard top-k (same function, grouped).
+* ``brute_force_topk`` — the exact O(N^2) baseline as a pure DataFrame plan:
+  probe side spread across tasks, candidate side broadcast. The broadcast of
+  the candidate table is *intrinsic* to an exact all-pairs baseline (every
+  probe must see every candidate — the only alternative physical strategy is
+  a cartesian shuffle, which is strictly worse); it is NOT the scale path and
+  is capped by executor memory by design. Use ``lsh_topk`` at scale.
 
-* ``lsh_topk`` — the scale path: random-hyperplane LSH bucketing (seeded,
-  deterministic) so only vectors sharing a bucket are compared. Recall is
-  tunable via ``n_bits``/``n_tables``.
+* ``lsh_topk`` — the scale path: seeded random-hyperplane LSH bucketing
+  (JVM-side expressions over a 32-row broadcast plane dim — zero Python in
+  the bucketing), then an exact numpy top-k *within each bucket* via
+  ``applyInPandas`` (one Arrow batch + one BLAS matmul per bucket — never a
+  driver-side collect of the table), then a global per-vector merge of the
+  per-bucket top-k rows. The per-bucket pre-reduce bounds the merge input to
+  ``k * n_tables`` rows per vector regardless of bucket size.
+
+Exactness of the pre-reduce: a neighbor in the global top-k of a vector's
+candidate set beats all but < k candidates, hence beats all but < k of its
+own bucket-mates, hence survives its bucket's local top-k — so per-bucket
+top-k followed by a global top-k merge equals top-k over the full candidate
+set (given one consistent total order: rounded sim desc, neighbor_id asc).
 """
 
 from __future__ import annotations
@@ -20,7 +30,7 @@ from typing import Iterator, List
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -39,14 +49,32 @@ _TOPK_SCHEMA = StructType(
     ]
 )
 
+_BUCKET_TOPK_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("sim", DoubleType()),
+    ]
+)
 
-def _collect_matrix(emb: DataFrame, id_col: str, vec_col: str):
-    pdf = emb.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    return ids, mat, norms
+
+def _dot(va: str, vb: str):
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(c: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def _as_double_vec(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return emb.select(F.col(id_col), vec.alias("v"))
 
 
 def brute_force_topk(
@@ -55,74 +83,123 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per vector (self-join semantics, excludes self)."""
+    """Exact cosine top-k per vector (self-join semantics, excludes self).
+
+    Pure JVM expressions (zip_with/aggregate dot product + window rank) —
+    deterministic and oracle-pairable. Ties break on (sim desc, neighbor_id
+    asc) after rounding sim to 6 decimals.
+    """
     spark = emb.sparkSession
-    ids, mat, norms = _collect_matrix(emb, id_col, vec_col)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat / norms[:, None])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cand_ids = b_ids.value
-        cand = b_mat.value  # normalized candidates
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy()
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            sims = (q / qn[:, None]) @ cand.T  # (batch, n_candidates)
-            # mask self-matches
-            for r, qid in enumerate(q_ids):
-                self_idx = np.nonzero(cand_ids == qid)[0]
-                sims[r, self_idx] = -np.inf
-            kk = min(k, sims.shape[1] - 1)
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = []
-            for r, qid in enumerate(q_ids):
-                order = top[r][np.argsort(-sims[r, top[r]], kind="stable")]
-                for rank, ci in enumerate(order, 1):
-                    rows.append((int(qid), int(cand_ids[ci]), rank, float(sims[r, ci])))
-            yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "rank", "sim"])
-
-    return emb.select(id_col, vec_col).mapInPandas(gen, _TOPK_SCHEMA)
+    base = _as_double_vec(emb, id_col, vec_col)
+    a = base.select(F.col(id_col).alias("vec_id"), F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"))
+    pairs = (
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "sim")
+    )
 
 
-def with_lsh_bucket(
+def seeded_planes(
+    n_tables: int, n_bits: int, dim: int, seed: int = 7, decimals: int = 6
+) -> List[List[List[float]]]:
+    """Deterministic hyperplanes, rounded so an independent SQL oracle can
+    embed the identical literals. Shape: [table][bit][dim]."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).round(decimals).tolist()
+
+
+def with_lsh_buckets(
     emb: DataFrame,
     n_bits: int = 10,
+    n_tables: int = 1,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
-    """Attach a random-hyperplane LSH bucket (sign pattern) column."""
+    """-> (id_col, tbl, bucket): sign-pattern bucket per (vector, table).
+
+    JVM-side: the plane set is a (n_tables * n_bits)-row dim table —
+    broadcast of a dim-sized (not corpus-sized) frame — and the sign bits
+    are zip_with/aggregate expressions inside codegen. One map-side pass,
+    one groupBy on (id, tbl) whose input is N * n_tables * n_bits rows.
+    """
+    spark = emb.sparkSession
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    planes = np.random.default_rng(seed).standard_normal((n_bits, dim))
-    spark = emb.sparkSession
-    b_planes = spark.sparkContext.broadcast(planes)
-
-    schema = StructType(
-        emb.select(id_col, vec_col).schema.fields
-        + [StructField("bucket", LongType())]
+    planes = seeded_planes(n_tables, n_bits, dim, seed=seed)
+    rows = [
+        (t, b, planes[t][b]) for t in range(n_tables) for b in range(n_bits)
+    ]
+    plane_df = spark.createDataFrame(
+        rows, "tbl int, bit int, plane array<double>"
+    )
+    base = _as_double_vec(emb, id_col, vec_col)
+    bits = base.join(F.broadcast(plane_df)).select(
+        F.col(id_col),
+        "tbl",
+        F.when(_dot("v", "plane") > 0, F.expr("shiftleft(1, bit)"))
+        .otherwise(0)
+        .alias("bitval"),
+    )
+    return bits.groupBy(id_col, "tbl").agg(
+        F.sum("bitval").cast("long").alias("bucket")
     )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl = b_planes.value
-        weights = 1 << np.arange(pl.shape[0], dtype=np.int64)
-        for pdf in batches:
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (v @ pl.T) > 0
-            pdf = pdf[[id_col, vec_col]].copy()
-            pdf["bucket"] = (bits @ weights).astype(np.int64)
-            yield pdf
 
-    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+def _half_up_round(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """ROUND_HALF_UP (away from zero) — matches Spark's F.round and DuckDB's
+    round(), unlike numpy's banker's rounding."""
+    scale = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _bucket_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Exact cosine top-k within one bucket: one normalize + one matmul.
+    Total order: (sim desc, neighbor_id asc) on HALF_UP-rounded sims."""
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    sims = _half_up_round(unit @ unit.T)
+    np.fill_diagonal(sims, -np.inf)
+    rows = []
+    kk = min(k, len(ids) - 1)
+    if kk <= 0:
+        return pd.DataFrame(columns=["vec_id", "neighbor_id", "sim"])
+    for r in range(len(ids)):
+        order = np.lexsort((ids, -sims[r]))[:kk]
+        for ci in order:
+            if np.isfinite(sims[r, ci]):
+                rows.append((int(ids[r]), int(ids[ci]), float(sims[r, ci])))
+    return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim"])
+
+
+def auto_n_bits(n_vectors: int, target_bucket: int = 4096) -> int:
+    """Bits so the EXPECTED bucket size is ~``target_bucket``: within-bucket
+    work is quadratic, so bits must grow with log2(N) — a static bit count
+    leaves ~N^2/2^bits pairs per table at scale."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
 
 
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     n_tables: int = 8,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -130,56 +207,37 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine among LSH-bucket candidates only.
 
-    Standard OR-amplified multi-table LSH: a pair is a candidate if it
-    collides in *any* of ``n_tables`` independent hyperplane tables (per-table
-    collision prob ``(1 - theta/pi)^n_bits``; tables drive recall up, bits
-    drive candidate count down). At scale the bucket equi-joins replace the
-    all-pairs matmul: one shuffle on (table, bucket), comparisons only within
-    buckets.
+    Standard OR-amplified multi-table LSH (per-table collision prob
+    ``(1 - theta/pi)^n_bits``; tables drive recall up, bits drive candidate
+    count down). Physical plan: one shuffle on (tbl, bucket) into the
+    ``applyInPandas`` top-k kernel (per-bucket pre-reduce), then one shuffle
+    on vec_id for the global merge over at most ``k * n_tables`` rows per
+    vector. No corpus-sized broadcast, no driver-side collect.
+
+    ``n_bits=None`` auto-sizes the bit count from the corpus so expected
+    bucket size stays bounded as N grows (:func:`auto_n_bits`); pass an
+    explicit value for reproducible small-scale results.
     """
-    spark = emb.sparkSession
-    tables = []
-    for t in range(n_tables):
-        bt = with_lsh_bucket(
-            emb, n_bits=n_bits, seed=seed + 1000 * t, id_col=id_col, vec_col=vec_col
-        ).select(F.col(id_col), F.lit(t).alias("tbl"), "bucket")
-        tables.append(bt)
-    buckets = tables[0]
-    for bt in tables[1:]:
-        buckets = buckets.unionByName(bt)
+    if n_bits is None:
+        n_bits = auto_n_bits(emb.count())
+    buckets = with_lsh_buckets(
+        emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
+    grouped = buckets.withColumnRenamed(id_col, "vec_id").join(base, "vec_id")
 
-    lhs = buckets.select(F.col(id_col).alias("vec_id"), "tbl", "bucket")
-    rhs = buckets.select(F.col(id_col).alias("neighbor_id"), "tbl", "bucket")
-    cand = (
-        lhs.join(rhs, ["tbl", "bucket"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .distinct()
-    )
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_topk(pdf, k)
 
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), vec.alias("v"))
-    cand = (
-        cand.join(base.select(F.col(id_col).alias("vec_id"), F.col("v").alias("va")), "vec_id")
-        .join(
-            base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb")),
-            "neighbor_id",
-        )
+    local = grouped.groupBy("tbl", "bucket").applyInPandas(
+        kernel, _BUCKET_TOPK_SCHEMA
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nrm = lambda c: F.sqrt(
-        F.aggregate(F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    pairs = cand.select(
-        "vec_id", "neighbor_id", (dot / (nrm("va") * nrm("vb"))).alias("sim")
-    )
-    from pyspark.sql import Window
-
+    # same pair from several buckets carries an identical rounded sim
+    merged = local.dropDuplicates(["vec_id", "neighbor_id"])
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank", "sim")
     )

@@ -61,11 +61,54 @@ N_FEATURES = 16
 
 
 def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs here
-    """Real decode hook. Swap in PIL/libvips when available."""
+    """Real PIXEL decode hook. Swap in PIL/libvips when available.
+
+    (Container-format HEADERS are parsed for real — see
+    :func:`parse_png_header` / :func:`parse_wav_header`; only the pixel/PCM
+    payload decode is stubbed.)"""
     raise NotImplementedError(
         "image codecs are not available in this environment; "
         "the pipeline uses the deterministic fake decoder instead"
     )
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> channel count (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png_header(payload: bytes):
+    """Pure-Python PNG IHDR parse -> (width, height, n_channels) or None.
+
+    Real container parsing (signature + IHDR layout per the PNG spec); no
+    codec library needed. Returns None for anything that isn't a
+    well-formed PNG header."""
+    if len(payload) < 33 or not payload.startswith(PNG_SIGNATURE):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    channels = _PNG_CHANNELS.get(payload[25])
+    if channels is None or width == 0 or height == 0:
+        return None
+    return width, height, channels
+
+
+def parse_wav_header(payload: bytes):
+    """Pure-Python RIFF/WAVE fmt-chunk parse ->
+    (n_channels, sample_rate, bits_per_sample) or None."""
+    if len(payload) < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if payload[12:16] != b"fmt ":
+        return None
+    n_channels = int.from_bytes(payload[22:24], "little")
+    sample_rate = int.from_bytes(payload[24:28], "little")
+    bits = int.from_bytes(payload[34:36], "little")
+    if n_channels == 0 or sample_rate == 0:
+        return None
+    return n_channels, sample_rate, bits
 
 
 def _fake_decode(payload: bytes):
@@ -95,6 +138,9 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     rows.append((mid, None, None, None, "corrupt", None))
                     continue
                 w, h, c, feats = _fake_decode(payload)
+                png = parse_png_header(payload)
+                if png is not None:  # real container metadata when present
+                    w, h, c = png
                 rows.append((mid, w, h, c, "ok", feats.tolist()))
             yield pd.DataFrame(
                 rows,

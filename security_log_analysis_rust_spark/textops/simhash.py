@@ -4,9 +4,12 @@ Classic Charikar simhash: each token hashes to 64 bits; bit *i* of the
 signature is 1 iff the sum over tokens of ``(2*bit_i - 1)`` is positive.
 Implementation keeps everything in whole-stage codegen:
 
-* tokens explode once, hash via ``xxhash64`` (JVM);
+* tokens explode once, hash via md5 (JVM) split into two 32-bit halves —
+  md5 (not xxhash64) so an independent SQL oracle can reproduce the exact
+  bits: DuckDB has md5 + hex casts but no xxhash64;
 * one ``groupBy(doc)`` with 64 generated ``sum(sign-of-bit)`` aggregates;
-* signature assembled with shift/or expressions.
+* signature assembled with shift/or expressions (two's-complement wrap on
+  bit 63, i.e. an ordinary signed long).
 
 No Python touches the data. Near-dup pairs = signatures within a Hamming
 radius, found via band-blocking (split the 64 bits into bands; candidates
@@ -21,17 +24,34 @@ from pyspark.sql import functions as F
 N_BITS = 64
 
 
+def _token_hash_halves(tok_col):
+    """(hi, lo) 32-bit halves of the 64-bit md5-derived token hash.
+
+    ``conv(hex, 16, 10)`` of 8 hex chars fits a long exactly (< 2^32), so
+    neither half ever overflows; the oracle mirrors this with
+    ``TRY_CAST('0x' || substr(md5(tok), ...) AS BIGINT)``.
+    """
+    h = F.md5(tok_col)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return hi, lo
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (id_col, simhash: long)."""
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\W+"))
     t = docs.select(id_col, F.explode(toks).alias("tok")).filter(
         F.length("tok") > 0
     )
-    t = t.withColumn("h", F.xxhash64("tok"))
+    hi, lo = _token_hash_halves(F.col("tok"))
+    t = t.withColumn("hi", hi).withColumn("lo", lo)
+
+    def bit(i):
+        src = F.col("lo") if i < 32 else F.col("hi")
+        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(N_BITS)
     ]
     per_doc = t.groupBy(id_col).agg(*aggs)

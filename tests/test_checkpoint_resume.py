@@ -64,6 +64,19 @@ def test_rerun_is_noop(spark, tmp_path_factory, pages_dir):
     assert _sink_signature(spark, sink) == before
 
 
+def test_resume_with_different_layout_refuses(spark, tmp_path_factory, pages_dir):
+    """Changing files_per_split across a resume would give the per-split
+    systemd overwrite dirs overlapping line ranges; the manifests record the
+    layout and a mismatched resume is refused (ADVICE r1)."""
+    sink = str(tmp_path_factory.mktemp("layout"))
+    run_incremental(spark, pages_dir, sink, files_per_split=2)
+    with pytest.raises(ValueError, match="files_per_split"):
+        run_incremental(spark, pages_dir, sink, files_per_split=3)
+    # same layout still resumes fine
+    r = run_incremental(spark, pages_dir, sink, files_per_split=2)
+    assert r.splits_completed == 0 and r.splits_skipped == r.splits_total
+
+
 def test_crash_between_write_and_manifest_is_idempotent(
     spark, tmp_path_factory, pages_dir
 ):

@@ -84,3 +84,60 @@ def test_filter_pushdown_on_sink_read(spark, tmp_path):
     plan = _plan(df)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "service" in pushed[0], plan
+
+
+def test_incremental_antijoin_prunes_sink_partitions(spark, tmp_path):
+    """The ON-CONFLICT anti-join's sink scan must partition-prune to the
+    incremental months (VERDICT r1 #4), not re-scan the full sink."""
+    from security_log_analysis_rust_spark.pipeline.route import (
+        append_dedup,
+        dedup_intrusions,
+        sink_month_filter,
+        to_intrusion_log,
+    )
+
+    sink = str(tmp_path / "intrusion_log")
+    events = dedup_intrusions(extract_events(_pages(spark))["events"])
+    append_dedup(spark, sink, to_intrusion_log(events))
+    pruned = sink_month_filter(spark.read.parquet(sink), "2024-07-01 00:00:00")
+    plan = _plan(pruned)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dt_month" in pf[0], plan
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_similarity_joins_carry_no_broadcast_hints(spark):
+    """The shingle/band/bucket self-joins must not hard-hint a broadcast of a
+    corpus-sized frame (VERDICT r1 'What's wrong' #1): the strategy choice is
+    left to Catalyst/AQE, which can see measured sizes."""
+    import __spark_entry__ as E
+    from conftest import TESTDATA_SF_ORACLE
+
+    for q in (E.q_docs_jaccard_pairs, E.q_docs_minhash_lsh, E.q_docs_simhash_dups):
+        logical = _analyzed(q(spark, TESTDATA_SF_ORACLE))
+        assert "ResolvedHint" not in logical, f"{q.__name__}:\n{logical[:2000]}"
+
+
+def test_lsh_topk_broadcasts_only_the_plane_dim(spark):
+    """lsh_topk's only broadcast hint is the (n_tables*n_bits)-row hyperplane
+    dim — never the embedding table — and the per-bucket kernel pre-reduces
+    before the global merge window."""
+    import re
+
+    from conftest import TESTDATA_SF_ORACLE
+    from security_log_analysis_rust_spark.textops.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{TESTDATA_SF_ORACLE}/embeddings.parquet")
+    df = lsh_topk(emb, k=3, n_bits=4, n_tables=2)
+    logical = _analyzed(df)
+    hints = re.findall(r"ResolvedHint.*", logical)
+    assert len(hints) == 1, hints  # exactly one: the plane dim
+    assert "LogicalRDD" in logical or "LocalRelation" in logical  # tiny local dim
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket kernel present
+    # kernel (pre-reduce) feeds the global rank window: the tree prints
+    # root-first, so the upstream kernel node appears below the Window
+    assert plan.find("Window") < plan.find("FlatMapGroupsInPandas"), plan

@@ -82,6 +82,34 @@ def _write_journald_file(path, lines):
             f.write(json.dumps(rec, separators=(",", ":")) + "\n")
 
 
+def test_journald_line_no_is_deterministic(spark, tmp_path):
+    """line_no = per-file content position (not monotonically_increasing_id,
+    whose values shift with partitioning/retries), so the dedup tiebreak
+    (url, line_no) is reproducible (VERDICT r1 #6)."""
+    from security_log_analysis_rust_spark.sources.logfiles import read_journald_json
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base_us = 1_704_067_200_000_000
+    recs = [
+        {"__REALTIME_TIMESTAMP": str(base_us + i), "MESSAGE": f"msg {i}"}
+        for i in range(20)
+    ]
+    _write_journald_file(indir / "a.json", recs)
+    expected = {
+        json.dumps(r, separators=(",", ":")): i for i, r in enumerate(recs)
+    }
+
+    def mapping(df):
+        return {r.line: r.line_no for r in df.collect()}
+
+    df = read_journald_json(spark, str(indir))
+    assert mapping(df) == expected
+    # invariant under arbitrary repartitioning
+    assert mapping(df.repartition(7)) == expected
+    assert mapping(df.repartition(3)) == expected
+
+
 def test_streaming_journald_ingest(spark, tmp_path):
     from security_log_analysis_rust_spark.streaming.journald_stream import (
         start_journald_ingest,

@@ -54,18 +54,17 @@ def test_brute_force_topk_self_consistency(spark, emb):
     assert set(pdf["rank"]) == {1, 2, 3}
     assert len(pdf) == emb.count() * 3
     assert (pdf["vec_id"] != pdf["neighbor_id"]).all()
-    # rank-1 matches the oracle-checked expression-based top-1
+    # rank-1 matches the oracle-checked expression-based top-1 exactly (same
+    # JVM sim expression, same rounded tie-break)
     import __spark_entry__ as E
 
     top1_expr = {
         r.vec_id: r.neighbor_id for r in E.q_emb_top1(spark, TESTDATA_SF_ORACLE).collect()
     }
-    top1_np = {
+    top1_bf = {
         r.vec_id: r.neighbor_id for r in res.filter(F.col("rank") == 1).collect()
     }
-    agree = sum(top1_expr[k] == top1_np.get(k) for k in top1_expr)
-    # float tie-breaks may differ on exact-equal sims; demand near-total agreement
-    assert agree >= len(top1_expr) * 0.99
+    assert top1_expr == top1_bf
 
 
 def test_lsh_topk_recall(spark, emb):
@@ -83,10 +82,22 @@ def test_lsh_topk_recall(spark, emb):
     # a solid majority of true top-3 neighbors
     assert r > 0.5, f"recall@3 = {r}"
     # and the buckets actually prune work
-    from security_log_analysis_rust_spark.textops.ann import with_lsh_bucket
+    from security_log_analysis_rust_spark.textops.ann import with_lsh_buckets
 
-    n_buckets = with_lsh_bucket(emb, n_bits=6).select("bucket").distinct().count()
+    n_buckets = (
+        with_lsh_buckets(emb, n_bits=6).select("bucket").distinct().count()
+    )
     assert n_buckets > 10
+
+
+def test_auto_n_bits_grows_with_corpus():
+    from security_log_analysis_rust_spark.textops.ann import auto_n_bits
+
+    assert auto_n_bits(500) == 4  # floor at small scale
+    assert auto_n_bits(1 << 20) == 8  # 1M vectors / 4k target
+    assert auto_n_bits(1 << 30) == 18  # 1B vectors
+    # expected bucket size stays ~target as N grows 1024x
+    assert auto_n_bits(1 << 30) - auto_n_bits(1 << 20) == 10
 
 
 def test_multimodal_decode_contract(spark):
@@ -114,6 +125,63 @@ def test_multimodal_decode_contract(spark):
     frames = sample_frames(media).toPandas()
     assert (frames.groupby("media_id").size() <= 5).all()
     assert frames["frame_fingerprint"].str.len().eq(32).all()
+
+
+def _tiny_png(width: int, height: int, color_type: int = 6) -> bytes:
+    """Build a real, spec-valid PNG byte string with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x7f" * (width * n_ch) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_parses_real_png_header(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        parse_png_header,
+    )
+
+    png = _tiny_png(7, 5, color_type=6)
+    assert parse_png_header(png) == (7, 5, 4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png"),
+         (2, "image", bytearray(b"not a png, just bytes"), "image/png")],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].width, got[1].height, got[1].n_channels) == (7, 5, 4)
+    assert got[1].ok == "ok"
+    assert got[2].ok == "ok" and got[2].n_channels == 3  # fake-decode fallback
+
+
+def test_parse_wav_header():
+    import struct
+
+    from security_log_analysis_rust_spark.textops.multimodal import parse_wav_header
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 2 * 2, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+    )
+    assert parse_wav_header(wav) == (2, 44100, 16)
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    assert parse_wav_header(b"short") is None
 
 
 def test_real_decoder_is_explicit_stub():
