@@ -439,7 +439,13 @@ def q_docs_minhash_lsh(spark, sf_dir):
 
 
 def q_emb_top1(spark, sf_dir):
-    """Brute-force cosine top-1 neighbor per vector (ANN baseline)."""
+    """Brute-force cosine top-1 neighbor per vector (ANN baseline).
+
+    The broadcast of the candidate side is intrinsic to an exact all-pairs
+    baseline (every probe must see every candidate; the only other physical
+    strategy is a cartesian shuffle, which is strictly worse) — it is NOT
+    the scale path. The scale path is ``emb_topk_lsh`` (bucketed candidates,
+    per-bucket kernel, no corpus-sized broadcast)."""
     emb = _emb(spark, sf_dir)
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", vec.alias("v"))
@@ -515,6 +521,18 @@ def q_emb_topk_lsh(spark, sf_dir):
     )
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def q_emb_topk_ivf(spark, sf_dir):
+    from security_log_analysis_rust_spark.textops.ann import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), k=ANN_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -558,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_dups": q_docs_simhash_dups,
         "emb_topk_bruteforce": q_emb_topk_bruteforce,
         "emb_topk_lsh": q_emb_topk_lsh,
+        "emb_topk_ivf": q_emb_topk_ivf,
     }
 
 
@@ -815,6 +834,36 @@ def _emb_topk_lsh_sql() -> str:
     )
 
 
+def _emb_topk_ivf_sql() -> str:
+    """IVF oracle: same md5-sampled centroids, rounded centroid ranking,
+    n_probe lists, exact cosine within probed lists."""
+    seed = 7
+    return _EMB_V_CTE + (
+        ", cent AS (SELECT vec_id AS cvid, e AS cv, "
+        f"CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), "
+        f"vec_id) - 1 AS INT) AS cid FROM v "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id "
+        f"LIMIT {IVF_CENTROIDS}), "
+        "scored AS (SELECT v.vec_id, cent.cid, "
+        "round(list_sum(list_transform(list_zip(v.e, cent.cv), z -> z[1] * z[2])) / "
+        "(sqrt(list_sum(list_transform(v.e, x -> x * x))) * "
+        "sqrt(list_sum(list_transform(cent.cv, x -> x * x)))), 6) AS csim "
+        "FROM v CROSS JOIN cent), "
+        "ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY csim DESC, cid ASC) AS crank FROM scored), "
+        "members AS (SELECT cid, vec_id FROM ranked WHERE crank = 1), "
+        f"probes AS (SELECT cid, vec_id FROM ranked WHERE crank <= {IVF_PROBE}), "
+        "cand AS (SELECT DISTINCT p.vec_id AS a_id, m.vec_id AS b_id "
+        "FROM probes p JOIN members m ON p.cid = m.cid AND p.vec_id != m.vec_id), "
+        f"sims AS (SELECT a_id, b_id, {_EMB_SIM} AS sim FROM cand "
+        "JOIN v a ON cand.a_id = a.vec_id JOIN v b ON cand.b_id = b.vec_id) "
+        "SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rn AS INT) AS rank, sim "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY a_id "
+        "ORDER BY sim DESC, b_id ASC) AS rn FROM sims) t "
+        f"WHERE rn <= {ANN_K}"
+    )
+
+
 def _pipeline_sql(select: str) -> str:
     from security_log_analysis_rust_spark.synth import ensure_synthetic
 
@@ -1002,4 +1051,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_dups": _simhash_dups_sql(),
         "emb_topk_bruteforce": _emb_topk_bruteforce_sql(),
         "emb_topk_lsh": _emb_topk_lsh_sql(),
+        "emb_topk_ivf": _emb_topk_ivf_sql(),
     }

@@ -356,7 +356,10 @@ def main():
                     help="input replication (default: 24 for --scaling, "
                          "340 for --parse-scaling)")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--levels", default="8,32",
+                    help="comma-separated core counts, N and 4N (e.g. 4,16)")
     args = ap.parse_args()
+    args.levels = tuple(int(x) for x in args.levels.split(","))
     if args.replicate is None:
         args.replicate = 340 if (
             args.parse_scaling or args.scaling_stage == "parse"
@@ -375,7 +378,8 @@ def main():
 
     if args.parse_scaling:
         scaling = run_parse_scaling(
-            args.sf_dir, replicate=args.replicate, trials=args.trials
+            args.sf_dir, replicate=args.replicate, trials=args.trials,
+            levels=args.levels,
         )
         print(json.dumps({"metric": "parse-stage scaling local[8] vs local[32]",
                           "unit": "docs/sec", "scaling": scaling}))

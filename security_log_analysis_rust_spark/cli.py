@@ -76,6 +76,9 @@ def main(argv=None) -> int:
     p.add_argument("--dims", required=True)
     p.add_argument("--html", default=None)
 
+    p = sub.add_parser("cleanup", help="dedupe the intrusion sink in place")
+    p.add_argument("--sink", required=True)
+
     p = sub.add_parser("serve", help="HTTP read API (security_log_http.rs)")
     p.add_argument("--sink", required=True)
     p.add_argument("--dims", required=True)
@@ -215,6 +218,15 @@ def _dispatch(spark, args) -> int:
         else:
             for r in pc.limit(10).collect():
                 print(f"{r['country']}\t{r['count']}")
+        return 0
+
+    if args.cmd == "cleanup":
+        import os
+
+        from .pipeline.route import cleanup_intrusion_log
+
+        n = cleanup_intrusion_log(spark, os.path.join(args.sink, "intrusion_log"))
+        print(json.dumps({"removed": n}))
         return 0
 
     if args.cmd == "serve":

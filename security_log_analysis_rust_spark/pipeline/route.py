@@ -145,6 +145,34 @@ def append_dedup(
     return n
 
 
+def cleanup_intrusion_log(spark: SparkSession, sink_path: str) -> int:
+    """``cleanup_intrusion_log`` analog (``src/host_country_metadata.rs:
+    179-214``): delete duplicate sink rows on the unique key, keeping the
+    max-id row (the reference deletes ``a.id < b.id``). Returns the number
+    of removed rows. Implemented as a dedup + atomic rewrite — the plain-
+    parquet stand-in for a table-format DELETE."""
+    import shutil
+
+    df = spark.read.parquet(sink_path).persist()
+    before = df.count()
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    deduped = (
+        df.groupBy(*UNIQUE_KEY)
+        .agg(F.max_by(payload, F.col("id")).alias("__row"))
+        .select("__row.*")
+    )
+    tmp = sink_path + ".tmp"
+    writer = deduped.write.mode("overwrite")
+    if MONTH_COL in df.columns:
+        writer = writer.partitionBy(MONTH_COL)
+    writer.parquet(tmp)
+    df.unpersist()
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(sink_path)
+    os.replace(tmp, sink_path)
+    return before - after
+
+
 def write_sinks_single_pass(routed: DataFrame, out_dir: str) -> None:
     """Fan-out both sinks in ONE job: scan -> narrow route projection ->
     one dedup shuffle -> one partitioned write.

@@ -69,13 +69,20 @@ def start_journald_ingest(
         intr, sysd = parse_journald_lines(batch_df)
         # daemon semantics: the server comes from config (src/config.rs),
         # not from the input file identity
-        intr = intr.withColumn("server", F.lit(server))
+        intr = intr.withColumn("server", F.lit(server)).persist()
+        # batch min(datetime) bounds the anti-join's sink scan (the sink is
+        # month-partitioned; a tail-follow daemon's batches are recent, so
+        # the ON CONFLICT check prunes to the current months)
+        since_row = intr.agg(F.min("datetime")).first()[0]
+        since = since_row.isoformat(sep=" ") if since_row is not None else None
         append_dedup(
             spark,
             intr_path,
             to_intrusion_log(dedup_intrusions(intr)),
             key=UNIQUE_KEY,
+            since=since,
         )
+        intr.unpersist()
         # per-batch overwrite subdir = idempotent replay on restart
         to_systemd_log_messages(sysd).write.mode("overwrite").parquet(
             os.path.join(sysd_path, f"batch={batch_id}")

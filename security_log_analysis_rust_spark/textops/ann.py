@@ -243,6 +243,101 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    alternative to :func:`lsh_topk`.
+
+    * **Centroids**: ``n_centroids`` deterministic data samples — the rows
+      with the smallest ``md5(vec_id || ':' || seed)`` (a seeded uniform
+      sample without a full k-means pass, chosen over xxhash64 so a SQL
+      oracle reproduces the exact set; centroid count is dim-sized, so
+      collecting them to build a broadcast literal is O(centroids), never
+      O(corpus)).
+    * **Assignment** (JVM expressions over a broadcast centroid dim): each
+      vector joins its single nearest centroid's inverted list; each QUERY
+      probes its ``n_probe`` nearest lists.
+    * **Search**: one shuffle on the list id into the same per-list
+      ``applyInPandas`` kernel (queries x list members, one matmul), then
+      the global per-vector merge. No corpus-sized broadcast, no driver
+      collect of the table.
+    """
+    spark = emb.sparkSession
+    base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
+    cent_rows = (
+        base.withColumn(
+            "__h", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}")))
+        )
+        .orderBy("__h", "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in r["v"]]) for i, r in enumerate(cent_rows)],
+            "cid int, cv array<double>",
+        )
+    )
+    # rounded so the centroid ranking is reproducible by the SQL oracle
+    csim = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
+    scored = base.join(cent_df).select(
+        "vec_id", "v", "cid", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    members = ranked.filter(F.col("crank") == 1).select(
+        "cid", "vec_id", "v", F.lit("c").alias("role")
+    )
+    probes = ranked.filter(F.col("crank") <= n_probe).select(
+        "cid", "vec_id", "v", F.lit("q").alias("role")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["role"] == "q"]
+        c = pdf[pdf["role"] == "c"]
+        if q.empty or c.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "sim"])
+        qm = np.stack(q["v"].to_numpy()).astype(np.float64)
+        cm = np.stack(c["v"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        cn = np.linalg.norm(cm, axis=1)
+        qn[qn == 0] = 1.0
+        cn[cn == 0] = 1.0
+        sims = _half_up_round((qm / qn[:, None]) @ (cm / cn[:, None]).T)
+        q_ids = q["vec_id"].to_numpy()
+        c_ids = c["vec_id"].to_numpy()
+        rows = []
+        kk = min(k, sims.shape[1])
+        for r in range(len(q_ids)):
+            row = sims[r].copy()
+            row[c_ids == q_ids[r]] = -np.inf
+            order = np.lexsort((c_ids, -row))[:kk]
+            for ci in order:
+                if np.isfinite(row[ci]):
+                    rows.append((int(q_ids[r]), int(c_ids[ci]), float(row[ci])))
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim"])
+
+    local = (
+        members.unionByName(probes)
+        .groupBy("cid")
+        .applyInPandas(kernel, _BUCKET_TOPK_SCHEMA)
+    )
+    merged = local.dropDuplicates(["vec_id", "neighbor_id"])
+    w2 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 5) -> float:
     """Fraction of exact top-k pairs recovered by the approximate result."""
     e = exact.filter(F.col("rank") <= k).select("vec_id", "neighbor_id")

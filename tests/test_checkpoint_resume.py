@@ -77,6 +77,37 @@ def test_resume_with_different_layout_refuses(spark, tmp_path_factory, pages_dir
     assert r.splits_completed == 0 and r.splits_skipped == r.splits_total
 
 
+def test_cleanup_intrusion_log_removes_duplicates(
+    spark, tmp_path_factory, pages_dir
+):
+    """cleanup_intrusion_log (host_country_metadata.rs:179-214): duplicate
+    unique-key rows are deleted in place, keeping one per key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from security_log_analysis_rust_spark.pipeline.route import (
+        UNIQUE_KEY,
+        cleanup_intrusion_log,
+    )
+
+    sink = str(tmp_path_factory.mktemp("cleanup"))
+    run_incremental(spark, pages_dir, sink, files_per_split=4)
+    intr_path = os.path.join(sink, "intrusion_log")
+    clean = spark.read.parquet(intr_path)
+    n = clean.count()
+    # inject duplicates behind the anti-join's back (fresh ids, same keys)
+    dupes = clean.limit(25).withColumn("id", F.expr("uuid()"))
+    dupes.write.mode("append").partitionBy("dt_month").parquet(intr_path)
+    assert spark.read.parquet(intr_path).count() == n + 25
+
+    removed = cleanup_intrusion_log(spark, intr_path)
+    assert removed == 25
+    after = spark.read.parquet(intr_path)
+    assert after.count() == n
+    assert after.select(*UNIQUE_KEY).distinct().count() == n
+
+
 def test_crash_between_write_and_manifest_is_idempotent(
     spark, tmp_path_factory, pages_dir
 ):

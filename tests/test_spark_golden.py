@@ -86,6 +86,51 @@ def test_spark_systemd_24_errors(spark):
     assert all(r.log_timestamp is not None for r in rows)
 
 
+@pytest.mark.skipif(not os.path.exists(REFERENCE_SYSTEMD_JSON), reason="fixture absent")
+def test_spark_journald_routing_matches_oracle_on_reference_fixture(spark):
+    """Full S4 routing (source -> blacklist -> ssh/nginx/systemd split) over
+    the reference's own journald fixture, row-compared against the
+    pure-Python oracle — the independent anchor on non-synthetic data."""
+    from security_log_analysis_rust_spark.parsing.core import parse_journald_line
+    from security_log_analysis_rust_spark.pipeline.parse import parse_journald_lines
+    from security_log_analysis_rust_spark.sources.logfiles import read_journald_json
+
+    lines = read_journald_json(spark, REFERENCE_SYSTEMD_JSON)
+    intr, sysd = parse_journald_lines(lines)
+    got_intr = sorted(
+        (r.service, r.host, r.username, r.datetime.replace(tzinfo=None))
+        for r in intr.collect()
+    )
+    got_sysd = sorted(
+        (r.log_level, r.log_unit, r.log_message,
+         r.log_timestamp.replace(tzinfo=None))
+        for r in sysd.collect()
+    )
+
+    exp_intr, exp_sysd = [], []
+    with open(REFERENCE_SYSTEMD_JSON) as f:
+        for raw in f:
+            raw = raw.strip()
+            if not raw:
+                continue
+            out = parse_journald_line(raw)
+            if out is None:
+                continue
+            if out["kind"] == "intrusion":
+                exp_intr.append(
+                    (out["service"], out["host"], out["username"],
+                     out["datetime"].replace(tzinfo=None))
+                )
+            else:
+                exp_sysd.append(
+                    (out["log_level"], out["log_unit"], out["log_message"],
+                     out["log_timestamp"].replace(tzinfo=None))
+                )
+    assert got_intr == sorted(exp_intr)
+    assert got_sysd == sorted(exp_sysd)
+    assert len(got_sysd) > 0  # fixture routes into the systemd sink
+
+
 def test_spark_journald_golden_single(spark):
     line = (
         '{"__REALTIME_TIMESTAMP":"1655046591494032",'

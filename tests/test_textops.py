@@ -90,6 +90,27 @@ def test_lsh_topk_recall(spark, emb):
     assert n_buckets > 10
 
 
+def test_ivf_topk_recall(spark, emb):
+    from security_log_analysis_rust_spark.textops.ann import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+
+    exact = brute_force_topk(emb, k=3).cache()
+    approx = ivf_topk(emb, k=3, n_centroids=16, n_probe=4).cache()
+    r = recall_at_k(approx, exact, k=3)
+    # random 64-dim embeddings are the hardest case for a coarse quantizer;
+    # probing 4/16 lists must still beat the 25%-coverage baseline clearly
+    assert r > 0.35, f"recall@3 = {r}"
+    # structure: at most k rows per vector, never self
+    import pyspark.sql.functions as SF
+
+    per_vec = approx.groupBy("vec_id").count().agg(SF.max("count")).first()[0]
+    assert per_vec <= 3
+    assert approx.filter(SF.col("vec_id") == SF.col("neighbor_id")).count() == 0
+
+
 def test_auto_n_bits_grows_with_corpus():
     from security_log_analysis_rust_spark.textops.ann import auto_n_bits
 
