@@ -366,23 +366,37 @@ def q_docs_quality(spark, sf_dir):
 JACCARD_DF_CAP = 100
 
 
+def _group_pairs(grouped_ids):
+    """All ordered (a_id < b_id) pairs within one group's sorted id array —
+    the self-join-free candidate generator: ``groupBy(key).collect_list``
+    then explode C(n,2) combinations. Group size is bounded (DF cap /
+    LSH-bucket size), so the explode is bounded too; vs a key self-join this
+    saves one full shuffle + the join itself."""
+    return F.flatten(
+        F.transform(
+            grouped_ids,
+            lambda x, i: F.transform(
+                F.slice(grouped_ids, i + 2, F.size(grouped_ids)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+
+
 def q_docs_jaccard_pairs(spark, sf_dir):
     sh = _doc_shingles(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # df >= 2 is a pure optimization (singleton shingles can't pair);
-    # df <= JACCARD_DF_CAP is the semantic cap mirrored by the oracle.
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    keep = freq.filter(
-        (F.col("df") >= 2) & (F.col("df") <= JACCARD_DF_CAP)
-    ).select("sh")
-    shk = sh.join(keep, "sh")
-    # shuffle hash/sort-merge self-join on the shingle key — no broadcast
-    # hints: every frame here grows with the corpus (AQE may still elect a
-    # broadcast at small scale from measured sizes, which is fine).
-    a, b = shk.alias("a"), shk.alias("b")
+    # ONE shuffle on the shingle key; df >= 2 is a pure optimization
+    # (singleton shingles can't pair), df <= JACCARD_DF_CAP is the semantic
+    # cap mirrored by the oracle (bounds the C(df,2) explode per shingle).
+    groups = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= JACCARD_DF_CAP))
+    )
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        groups.select(F.explode(_group_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
@@ -425,15 +439,14 @@ def q_docs_minhash_lsh(spark, sf_dir):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # candidate pairs via within-bucket combinations (no self-join):
+    # bucket members are near-dup clusters, so C(n,2) per bucket is small
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_group_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
 

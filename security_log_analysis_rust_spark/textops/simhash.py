@@ -98,19 +98,31 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # candidate pairs via within-band-bucket combinations — one shuffle on
+    # (band, key), no self-join; bucket members are near-dup clusters so the
+    # C(n,2) explode per bucket stays small
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    cand = (
+        bands.groupBy("band", "key")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .select(F.explode(pairs).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("p.a.id").alias("a_id"),
+            F.col("p.b.id").alias("b_id"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
         )
         .distinct()
     )
