@@ -95,14 +95,20 @@ def run_incremental(
     files_per_split: int = 4,
     fail_after_splits: Optional[int] = None,
     watermark: bool = False,
+    filters: Optional[tuple] = None,
 ) -> RunReport:
     """Process all input splits not yet recorded in the manifest dir.
 
     ``fail_after_splits`` injects a crash after N splits (for resume tests).
     ``watermark=True`` additionally applies the reference's F5 semantics:
     only events newer than the sink's max(datetime) per (service, server)
-    are appended.
+    are appended. ``filters`` is the journald blacklist (F6); None reads it
+    from the environment (``SYSTEMD_LOG_FILTERS``, config.rs semantics).
     """
+    if filters is None:
+        from ..config import init_config
+
+        filters = init_config().systemd_log_filters
     manifest_dir = os.path.join(sink_dir, "_manifests")
     os.makedirs(manifest_dir, exist_ok=True)
     intr_path = os.path.join(sink_dir, "intrusion_log")
@@ -134,7 +140,7 @@ def run_incremental(
         t0 = time.time()
         pages = spark.read.parquet(*files)
         # one materialized parse feeds both sinks (no re-scan per sink)
-        out = extract_events(pages, persist=True)
+        out = extract_events(pages, persist=True, filters=filters)
         events = dedup_intrusions(out["events"])
 
         if watermark and os.path.exists(intr_path):

@@ -54,19 +54,27 @@ def start_journald_ingest(
     checkpoint_dir: Optional[str] = None,
     available_now: bool = True,
     server: str = "home.ddboline.net",
+    filters: Optional[tuple] = None,
 ):
     """Start the streaming ingest; returns the StreamingQuery.
 
     ``available_now=True`` processes the backlog and stops (used by tests and
-    backfills); ``False`` keeps tailing like the daemon.
+    backfills); ``False`` keeps tailing like the daemon. ``filters`` = F6
+    journald blacklist; None reads ``SYSTEMD_LOG_FILTERS`` from the env
+    (config.rs semantics — the daemon is exactly where the reference
+    configures it).
     """
+    if filters is None:
+        from ..config import init_config
+
+        filters = init_config().systemd_log_filters
     checkpoint_dir = checkpoint_dir or os.path.join(sink_dir, "_stream_checkpoint")
     intr_path = os.path.join(sink_dir, "intrusion_log")
     sysd_path = os.path.join(sink_dir, "systemd_log_messages")
     lines = read_journald_stream(spark, input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        intr, sysd = parse_journald_lines(batch_df)
+        intr, sysd = parse_journald_lines(batch_df, filters=filters)
         # daemon semantics: the server comes from config (src/config.rs),
         # not from the input file identity
         intr = intr.withColumn("server", F.lit(server)).persist()

@@ -75,6 +75,23 @@ def test_config_env_file_and_override(tmp_path, monkeypatch):
     assert cfg2.alert_log_level == "info"
 
 
+def test_systemd_log_filters_env_reaches_pipeline(spark, tmp_path, monkeypatch):
+    """SYSTEMD_LOG_FILTERS from the environment drives the F6 blacklist in
+    the incremental pipeline (config.rs -> parse wiring): a filter matching
+    every journald line ('__REALTIME_TIMESTAMP') blanks the systemd sink."""
+    from security_log_analysis_rust_spark.pipeline.checkpoint import run_incremental
+
+    pages = ensure_synthetic(TESTDATA_SF_SMALL)["pages"]
+    base = str(tmp_path / "base")
+    r1 = run_incremental(spark, pages, base, files_per_split=8)
+    assert r1.rows["systemd"] > 0
+
+    monkeypatch.setenv("SYSTEMD_LOG_FILTERS", "__REALTIME_TIMESTAMP")
+    blanked = str(tmp_path / "blanked")
+    r2 = run_incremental(spark, pages, blanked, files_per_split=8)
+    assert r2.rows["systemd"] == 0
+
+
 # --------------------------------------------------------------------------
 # TTL cache (TimedSizedCache analog)
 # --------------------------------------------------------------------------
