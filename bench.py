@@ -394,10 +394,11 @@ def main():
 
     if args.scaling:
         scaling = run_scaling(
-            args.sf_dir, replicate=args.replicate, trials=args.trials
+            args.sf_dir, replicate=args.replicate, trials=args.trials,
+            levels=args.levels,
         )
         result["scaling"] = scaling
-        result["value"] = scaling[f"local[{32}]"]["seconds"]
+        result["value"] = scaling[f"local[{args.levels[1]}]"]["seconds"]
         result["queries"] = {}
     else:
         spark = _spark(args.cpus, shuffle=max(args.cpus, 16))

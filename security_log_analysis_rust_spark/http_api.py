@@ -222,6 +222,96 @@ class SecurityLogApp:
             lambda: geochart_body(self.country_count_all(service, location, ndays)),
         )
 
+    def intrusion_log_get(
+        self,
+        service: Optional[str] = None,
+        server: Optional[str] = None,
+        offset: int = 0,
+        limit: int = 10,
+    ) -> dict:
+        """intursion_log_get (security_log_http.rs:240-283): filtered +
+        paginated intrusion rows with a total."""
+        from .pipeline.aggregate import paginate
+        from .pipeline.dims import build_event_filters
+
+        df = build_event_filters(self._intrusions(), service=service, server=server)
+        total = df.count()
+        data = []
+        for r in paginate(df, offset=offset, limit=limit).collect():
+            d = r.asDict()
+            d["datetime"] = d["datetime"].isoformat()
+            data.append(d)
+        return {
+            "pagination": {"total": total, "offset": offset, "limit": limit},
+            "data": data,
+        }
+
+    def intrusion_log_post(self, updates: list) -> int:
+        """intrusion_log_post (security_log_http.rs:313-328): dedup-insert a
+        batch of rows; returns the number actually appended."""
+        from .pipeline.route import UNIQUE_KEY, append_dedup
+        from .schemas import INTRUSION_LOG_SCHEMA
+        import uuid
+
+        rows = [
+            (
+                u.get("id") or str(uuid.uuid4()),
+                u["service"],
+                u["server"],
+                u["datetime"].replace("T", " ").replace("Z", ""),
+                u["host"],
+                u.get("username"),
+            )
+            for u in updates
+        ]
+        df = self.spark.createDataFrame(
+            rows, "id string, service string, server string, datetime string, "
+            "host string, username string"
+        ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+        df = df.select(*[f.name for f in INTRUSION_LOG_SCHEMA.fields])
+        df = df.dropDuplicates(UNIQUE_KEY)
+        return append_dedup(
+            self.spark,
+            os.path.join(self.sink_dir, "intrusion_log"),
+            df,
+        )
+
+    def host_country_get(self, offset: int = 0, limit: int = 10) -> dict:
+        """host_country_get (security_log_http.rs:404-438)."""
+        hc, _ = self._dims()
+        total = hc.count()
+        data = []
+        for r in hc.orderBy("host").offset(offset).limit(limit).collect():
+            d = r.asDict()
+            if d.get("created_at") is not None:
+                d["created_at"] = d["created_at"].isoformat()
+            data.append(d)
+        return {
+            "pagination": {"total": total, "offset": offset, "limit": limit},
+            "data": data,
+        }
+
+    def host_country_post(self, entries: list) -> int:
+        """host_country_post (security_log_http.rs:410-428 post): per-row
+        upsert; returns the number of NEW hosts (the reference's counter
+        actually counts updates — models.rs:110-124 returns the pre-existing
+        row — documented deviation: new-host count is the useful number)."""
+        from .pipeline.dims import overwrite_dim, upsert_host_country
+        from .schemas import HOST_COUNTRY_SCHEMA
+
+        hc, _ = self._dims()
+        rows = [
+            (e["host"], e["code"], e.get("ipaddr"), None) for e in entries
+        ]
+        updates = self.spark.createDataFrame(rows, HOST_COUNTRY_SCHEMA)
+        merged = upsert_host_country(hc, updates).persist()
+        n_new = merged.count() - hc.count()
+        overwrite_dim(
+            merged, os.path.join(self.dims_dir, "host_country.parquet")
+        )
+        merged.unpersist()
+        return n_new
+
     def log_messages(
         self,
         log_level: Optional[str] = None,
@@ -334,6 +424,20 @@ def make_handler(app: SecurityLogApp):
                     self._send(_INDEX_HTML.replace("__DATA__", body))
                 elif u.path == "/security_log/map_script.js":
                     self._send(MAP_SCRIPT_JS, ctype="text/javascript")
+                elif u.path == "/security_log/intrusion_log":
+                    out = app.intrusion_log_get(
+                        service=service,
+                        server=_qp(qs, "server"),
+                        offset=int(_qp(qs, "offset") or 0),
+                        limit=int(_qp(qs, "limit") or 10),
+                    )
+                    self._send(json.dumps(out), ctype="application/json")
+                elif u.path == "/security_log/host_country":
+                    out = app.host_country_get(
+                        offset=int(_qp(qs, "offset") or 0),
+                        limit=int(_qp(qs, "limit") or 10),
+                    )
+                    self._send(json.dumps(out), ctype="application/json")
                 elif u.path == "/security_log/log_messages":
                     out = app.log_messages(
                         log_level=_qp(qs, "log_level"),
@@ -349,6 +453,22 @@ def make_handler(app: SecurityLogApp):
                 else:
                     self._send("not found", status=404)
             except Exception as e:  # 500 with the message, like warp's reject
+                self._send(f"error: {e}", status=500)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/security_log/intrusion_log":
+                    n = app.intrusion_log_post(body.get("updates", []))
+                    self._send(f"Inserts {n}")
+                elif self.path == "/security_log/host_country":
+                    entries = body if isinstance(body, list) else body.get("updates", [])
+                    n = app.host_country_post(entries)
+                    self._send(f"Inserts {n}")
+                else:
+                    self._send("not found", status=404)
+            except Exception as e:
                 self._send(f"error: {e}", status=500)
 
         def do_DELETE(self):

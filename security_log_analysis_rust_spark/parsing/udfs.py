@@ -50,15 +50,23 @@ def extract_invalid_user(msg: pd.Series) -> pd.DataFrame:
         with no ``" from "`` (the reference's Err path becomes drop+count).
     """
     # Arrow batches where every value is null arrive as float64(NaN);
-    # coerce to pandas StringDtype so .str ops are always valid
-    if msg.dtype != object and not isinstance(msg.dtype, pd.StringDtype):
-        msg = msg.astype("string")
+    # coerce to pandas StringDtype so .str ops are always valid. The SAME
+    # collapse happens mid-kernel when NO line in a batch contains a marker
+    # (parts.str[1] becomes float64(all-NaN)), so every intermediate series
+    # is re-coerced too (found by the hypothesis parity test).
+    def _as_str(s: pd.Series) -> pd.Series:
+        if s.dtype != object and not isinstance(s.dtype, pd.StringDtype):
+            return s.astype("string")
+        return s
+
+    msg = _as_str(msg)
     parts = msg.str.split("Invalid user ", regex=False)
-    user_seg = parts.str[1]  # NaN when the marker is absent
+    user_seg = _as_str(parts.str[1])  # NaN when the marker is absent
     seg = user_seg.str.split(" from ", regex=False)
-    user = seg.str[0]
-    host_seg = seg.str[1]  # NaN when no " from " (reference Err path)
+    user = _as_str(seg.str[0])
+    host_seg = _as_str(seg.str[1])  # NaN when no " from " (reference Err path)
     host = host_seg.str.split("port", n=1, regex=False).str[0].str.strip()
+    host = _as_str(host)
     user = truncate_bytes_series(user, 15)
     host = truncate_bytes_series(host, 60)
     valid = (host.notna() & host.str.contains(".", regex=False)).fillna(False)

@@ -233,6 +233,59 @@ def test_log_messages_pagination_and_delete(served_app):
     assert all(r["id"] != victim for r in out2["data"])
 
 
+def test_intrusion_log_get_and_post(served_app):
+    app, port = served_app
+    status, body = _get(port, "/security_log/intrusion_log?service=ssh&limit=3")
+    assert status == 200
+    out = json.loads(body)
+    assert out["pagination"]["total"] > 0 and len(out["data"]) == 3
+    assert all(r["service"] == "ssh" for r in out["data"])
+
+    # POST: one genuinely new row + one duplicate of an existing row
+    existing = out["data"][0]
+    new_row = {
+        "service": "ssh", "server": "home.ddboline.net",
+        "datetime": "2031-01-01T00:00:00Z", "host": "198.51.100.9",
+        "username": "mallory",
+    }
+    payload = json.dumps({"updates": [new_row, {
+        k: existing[k] for k in ("service", "server", "datetime", "host", "username")
+    }]})
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/security_log/intrusion_log", body=payload,
+                 headers={"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.read().decode() == "Inserts 1"  # duplicate suppressed
+    conn.close()
+
+
+def test_host_country_get_and_post(served_app):
+    app, port = served_app
+    status, body = _get(port, "/security_log/host_country?limit=5&offset=2")
+    assert status == 200
+    out = json.loads(body)
+    assert out["pagination"]["total"] > 0 and len(out["data"]) == 5
+    hosts = [r["host"] for r in out["data"]]
+    assert hosts == sorted(hosts)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request(
+        "POST", "/security_log/host_country",
+        body=json.dumps([{"host": "203.0.113.200", "code": "AQ"},
+                         {"host": hosts[0], "code": "QQ"}]),
+        headers={"Content-Type": "application/json"},
+    )
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.read().decode() == "Inserts 1"  # one new host, one update
+    conn.close()
+    _, body2 = _get(port, "/security_log/host_country?limit=10000")
+    got = {r["host"]: r["code"] for r in json.loads(body2)["data"]}
+    assert got["203.0.113.200"] == "AQ"
+    assert got[hosts[0]] == "QQ"  # upsert updated the existing host
+
+
 def test_cleanup_resolves_dangling_hosts(served_app, spark):
     app, port = served_app
     status, body = _get(port, "/security_log/cleanup")

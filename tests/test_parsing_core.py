@@ -232,3 +232,49 @@ def test_level_classifier_order():
 def test_truncate_bytes():
     assert truncate_bytes("abc", 15) == "abc"
     assert truncate_bytes("a" * 20, 15) == "a" * 15
+
+
+def test_hypothesis_udf_kernel_matches_core_oracle():
+    """Property: the vectorized Arrow kernel (parsing/udfs.py) and the
+    pure-Python oracle (parsing/core.py) agree on parse_log_message for
+    arbitrary ASCII lines — the two independent implementations of
+    parse_logs.rs:58-84 can't drift apart on any marker/edge combination."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from security_log_analysis_rust_spark.parsing.core import parse_log_message
+    from security_log_analysis_rust_spark.parsing.udfs import extract_invalid_user
+
+    piece = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24
+    )
+    marker = st.sampled_from(
+        ["Invalid user ", " from ", "port", ".", "sshd", "Invalid user "]
+    )
+    line = st.lists(st.one_of(piece, marker), max_size=10).map("".join)
+
+    def oracle(s):
+        try:
+            r = parse_log_message(s)
+        except ValueError:  # reference Err path -> pipeline drop
+            return (None, None)
+        if r is None:
+            return (None, None)
+        host, user = r
+        return (host, user)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=32))
+    def check(lines):
+        got = extract_invalid_user(pd.Series(lines, dtype=object))
+        for i, s in enumerate(lines):
+            exp_host, exp_user = oracle(s)
+            assert got["host"].iloc[i] == exp_host or (
+                got["host"].iloc[i] is None and exp_host is None
+            ), (s, got.iloc[i].tolist(), (exp_host, exp_user))
+            assert got["username"].iloc[i] == exp_user or (
+                got["username"].iloc[i] is None and exp_user is None
+            ), (s, got.iloc[i].tolist(), (exp_host, exp_user))
+
+    check()
