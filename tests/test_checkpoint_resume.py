@@ -77,6 +77,52 @@ def test_resume_with_different_layout_refuses(spark, tmp_path_factory, pages_dir
     assert r.splits_completed == 0 and r.splits_skipped == r.splits_total
 
 
+def test_watermark_rerun_appends_nothing_then_newer_rows(
+    spark, tmp_path_factory, pages_dir
+):
+    """F5 high-watermark semantics: with watermark=True a re-run of the same
+    input appends nothing (everything <= sink max per service/server), and a
+    strictly newer event still lands."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path_factory.mktemp("wm"))
+    run_incremental(spark, pages_dir, sink, files_per_split=8)
+    intr_path = os.path.join(sink, "intrusion_log")
+    n0 = spark.read.parquet(intr_path).count()
+
+    # wipe manifests so the same splits re-run, exercising the watermark
+    import glob
+
+    for p in glob.glob(os.path.join(sink, "_manifests", "*.json")):
+        os.remove(p)
+    r = run_incremental(spark, pages_dir, sink, files_per_split=8, watermark=True)
+    assert r.rows["intrusion_appended"] == 0
+    assert spark.read.parquet(intr_path).count() == n0
+
+    # a synthetic strictly-newer journald event does land
+    newer = tmp_path_factory.mktemp("wm_new")
+    line = _json.dumps({
+        "__REALTIME_TIMESTAMP": "2524608000000000",  # 2050-01-01
+        "MESSAGE": "Invalid user zed from 203.0.113.50 port 2222",
+        "UNIT": "ssh.service",
+    })
+    spark.createDataFrame(
+        [("file:///wm_new", 0)], "url string, line_no long"
+    ).select(
+        F.col("url"), F.current_timestamp().alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(line).alias("text"), F.lit("en").alias("lang"),
+    ).select("url", "warc_ts", "html", "text", "lang").write.parquet(
+        str(newer / "pages")
+    )
+    r2 = run_incremental(spark, str(newer / "pages"), sink,
+                         files_per_split=8, watermark=True)
+    assert r2.rows["intrusion_appended"] == 1
+
+
 def test_cleanup_intrusion_log_removes_duplicates(
     spark, tmp_path_factory, pages_dir
 ):
