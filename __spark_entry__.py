@@ -285,6 +285,42 @@ def q_events_type_stats(spark, sf_dir):
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (classic log-pipeline op): a new session
+    starts when a user's inter-event gap exceeds SESSION_GAP_MIN minutes.
+    One shuffle on user_id; both windows share the same partitioning."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route through timestamp for the epoch-seconds cast
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_s = epoch - F.lag(epoch).over(w)
+    new_s = F.when(
+        gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        _evtbl(spark, sf_dir)
+        .withColumn("__new", new_s)
+        .withColumn("session_no", F.sum("__new").over(running).cast("int"))
+        .select("user_id", "event_id", "ts", "session_no")
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact per-type value quantiles (percentile = sort + linear
+    interpolation, the quantile_cont definition)."""
+    def q(p, name):
+        return F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+
+    return _evtbl(spark, sf_dir).groupBy("event_type").agg(
+        q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")
+    )
+
+
 def q_docs_token_stats(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -577,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_user_first": q_events_user_first,
         "events_type_stats": q_events_type_stats,
+        "events_sessions": q_events_sessions,
+        "events_quantiles": q_events_quantiles,
         "docs_token_stats": q_docs_token_stats,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -978,6 +1016,23 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 3) AS sum_value, "
             "round(min(value), 3) AS min_value, "
             "round(max(value), 3) AS max_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_sessions": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            f"epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60} "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, ts, CAST(sum(new_s) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS INT) AS session_no FROM g"
+        ),
+        "events_quantiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6) AS p50, "
+            "round(quantile_cont(value, 0.9), 6) AS p90, "
+            "round(quantile_cont(value, 0.99), 6) AS p99 "
             "FROM events GROUP BY event_type"
         ),
         "docs_token_stats": (
