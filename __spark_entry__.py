@@ -572,6 +572,16 @@ def q_emb_topk_lsh(spark, sf_dir):
 
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
+NEAR_DUP_SIM = 0.35
+
+
+def q_emb_near_dups(spark, sf_dir):
+    from security_log_analysis_rust_spark.textops.ann import lsh_near_dups
+
+    return lsh_near_dups(
+        _emb(spark, sf_dir), threshold=NEAR_DUP_SIM,
+        n_bits=ANN_BITS, n_tables=ANN_TABLES,
+    )
 
 
 def q_emb_topk_ivf(spark, sf_dir):
@@ -628,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_bruteforce": q_emb_topk_bruteforce,
         "emb_topk_lsh": q_emb_topk_lsh,
         "emb_topk_ivf": q_emb_topk_ivf,
+        "emb_near_dups": q_emb_near_dups,
     }
 
 
@@ -855,9 +866,10 @@ def _emb_topk_bruteforce_sql() -> str:
     )
 
 
-def _emb_topk_lsh_sql() -> str:
-    """Same seeded hyperplanes as textops.ann.seeded_planes, embedded as
-    literals (shared deterministic constants; independent implementations)."""
+def _lsh_bucket_cte() -> str:
+    """Shared CTEs: v + seeded hyperplane literals + per-(tbl) buckets —
+    same constants as textops.ann.seeded_planes (shared deterministic
+    literals; independent implementations)."""
     from security_log_analysis_rust_spark.textops.ann import seeded_planes
 
     planes = seeded_planes(ANN_TABLES, ANN_BITS, EMB_DIM, seed=7)
@@ -872,8 +884,13 @@ def _emb_topk_lsh_sql() -> str:
         "list_sum(list_transform(list_zip(e, plane), z -> z[1] * z[2])) > 0 "
         "THEN (1 << bit) ELSE 0 END AS bv FROM v CROSS JOIN planes), "
         "buckets AS (SELECT vec_id, tbl, CAST(sum(bv) AS BIGINT) AS bucket "
-        "FROM bits GROUP BY 1, 2), "
-        "cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
+        "FROM bits GROUP BY 1, 2)"
+    )
+
+
+def _emb_topk_lsh_sql() -> str:
+    return _lsh_bucket_cte() + (
+        ", cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
         "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
         "AND a.vec_id != b.vec_id), "
         f"sims AS (SELECT a_id, b_id, {_EMB_SIM} AS sim FROM cand "
@@ -882,6 +899,17 @@ def _emb_topk_lsh_sql() -> str:
         "FROM (SELECT *, row_number() OVER (PARTITION BY a_id "
         "ORDER BY sim DESC, b_id ASC) AS rn FROM sims) t "
         f"WHERE rn <= {ANN_K}"
+    )
+
+
+def _emb_near_dups_sql() -> str:
+    return _lsh_bucket_cte() + (
+        ", cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
+        "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id) "
+        f"SELECT a_id, b_id, {_EMB_SIM} AS sim FROM cand "
+        "JOIN v a ON cand.a_id = a.vec_id JOIN v b ON cand.b_id = b.vec_id "
+        f"WHERE {_EMB_SIM} >= {NEAR_DUP_SIM}"
     )
 
 
@@ -1120,4 +1148,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_bruteforce": _emb_topk_bruteforce_sql(),
         "emb_topk_lsh": _emb_topk_lsh_sql(),
         "emb_topk_ivf": _emb_topk_ivf_sql(),
+        "emb_near_dups": _emb_near_dups_sql(),
     }

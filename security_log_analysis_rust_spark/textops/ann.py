@@ -243,6 +243,56 @@ def lsh_topk(
     )
 
 
+def lsh_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates, exact
+    cosine >= ``threshold``. The dedup flavor of the ANN stack — candidates
+    come from within-bucket combinations (no self-join, no corpus broadcast),
+    so the work is bucket-bounded rather than all-pairs. Recall contract:
+    only pairs colliding in >= 1 of the ``n_tables`` tables are examined
+    (same OR-amplification math as lsh_topk)."""
+    buckets = with_lsh_buckets(
+        emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    ).withColumnRenamed(id_col, "vec_id")
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    cand = (
+        buckets.groupBy("tbl", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .distinct()
+    )
+    base = _as_double_vec(emb, id_col, vec_col)
+    cand = cand.join(
+        base.select(F.col(id_col).alias("a_id"), F.col("v").alias("va")), "a_id"
+    ).join(
+        base.select(F.col(id_col).alias("b_id"), F.col("v").alias("vb")), "b_id"
+    )
+    sim = F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
