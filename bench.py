@@ -72,6 +72,16 @@ def run_headline(spark, sf_dir: str) -> dict:
         F.sum(F.size(F.split(F.coalesce("text", F.lit("")), "\n")))
     ).collect()[0][0]
 
+    # infra warmup (same spirit as the scan warm above): spin up the Arrow
+    # python workers and shuffle machinery on ONE row so q1 measures the
+    # query, not daemon fork + JIT; plans below still run cold
+    from security_log_analysis_rust_spark.parsing.udfs import invalid_user_udf
+
+    spark.range(1).select(
+        invalid_user_udf(F.lit("Invalid user x from 1.2.3.4 port 1"))
+    ).collect()
+    spark.range(64).repartition(8).groupBy((F.col("id") % 4).alias("k")).count().collect()
+
     # q1: full parse -> dedup -> intrusion_log rows (parse+route)
     extras["intrusion_rows"] = timed(
         "q1_parse_route", lambda: dedup_intrusions(events).count()

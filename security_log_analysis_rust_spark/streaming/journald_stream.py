@@ -106,6 +106,45 @@ def start_journald_ingest(
     return writer.start()
 
 
+def stateful_attempt_totals(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    lifetime per-host attempt totals across micro-batches.
+
+    The reference daemon keeps no cross-batch state (the DB is its state);
+    this is the Structured-Streaming-native generalization: per-host running
+    totals live in the state store (checkpointed, recoverable), each batch
+    folds its Arrow frames into the group's state and emits the updated
+    total. Scale: state is partitioned by the group key across executors —
+    the standard stateful-operator shape for burst/abuse detectors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    lines = read_journald_stream(spark, input_dir)
+    intr, _ = parse_journald_lines(lines)
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"host": [key[0]], "total": [total]})
+
+    return (
+        intr.select("host")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType="host string, total long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_intrusion_counts(
     spark: SparkSession, input_dir: str, window: str = "1 hour",
     watermark: str = "2 hours"

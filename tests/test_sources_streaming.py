@@ -149,6 +149,67 @@ def test_streaming_journald_ingest(spark, tmp_path):
     assert intr.count() == 2  # duplicate suppressed (ON CONFLICT analog)
 
 
+def test_stateful_attempt_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-host totals in the state store: a
+    second run over the same checkpoint resumes the count, not restarts it."""
+    from security_log_analysis_rust_spark.streaming.journald_stream import (
+        stateful_attempt_totals,
+    )
+
+    indir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    base_us = 1_704_067_200_000_000
+    _write_journald_file(
+        indir / "a.json",
+        [
+            {"__REALTIME_TIMESTAMP": str(base_us + i),
+             "MESSAGE": f"Invalid user u{i} from 7.7.7.7 port {i}"}
+            for i in range(3)
+        ],
+    )
+
+    out = str(tmp_path / "totals")
+
+    def run(_name):
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stateful_attempt_totals(spark, str(indir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # totals only grow; the latest update per host is its max
+        return {
+            r.host: r.total
+            for r in spark.read.parquet(out)
+            .groupBy("host")
+            .agg(F.max("total").alias("total"))
+            .collect()
+        }
+
+    assert run("state1") == {"7.7.7.7": 3}
+
+    _write_journald_file(
+        indir / "b.json",
+        [
+            {"__REALTIME_TIMESTAMP": str(base_us + 10 + i),
+             "MESSAGE": f"Invalid user v{i} from 7.7.7.7 port {i}"}
+            for i in range(2)
+        ] + [
+            {"__REALTIME_TIMESTAMP": str(base_us + 20),
+             "MESSAGE": "Invalid user w from 8.8.8.8 port 9"}
+        ],
+    )
+    # resumes from the checkpointed state: 3 + 2, and a fresh host at 1
+    assert run("state2") == {"7.7.7.7": 5, "8.8.8.8": 1}
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     from security_log_analysis_rust_spark.streaming.journald_stream import (
         windowed_intrusion_counts,
