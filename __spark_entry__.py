@@ -340,6 +340,39 @@ def q_docs_token_stats(spark, sf_dir):
     )
 
 
+#: winnowing parameters (Schleimer et al., SIGMOD'03): char k-grams, window w
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def q_docs_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprints via winnowing: hash every char
+    k-gram, keep the minimum hash of each length-w window (rightmost wins
+    ties), distinct per doc. Tie-break is encoded in the key itself —
+    ``h * 2^16 + (2^16 - 1 - pos)`` — so a plain array_min is exact; the
+    oracle mirrors the identical packing. Positions fit 16 bits (docs are
+    length-bounded; at scale shard long docs first), hashes use 40 bits of
+    md5 so keys stay < 2^56."""
+    docs = _spread_small_input(_docs(spark, sf_dir))
+    docs = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    s = F.col("text")
+    n_grams = F.length(s) - (WINNOW_K - 1)
+    keys = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda p: F.conv(F.substring(F.md5(F.substr(s, p, F.lit(WINNOW_K))), 1, 10), 16, 10)
+        .cast("long") * 65536 + (F.lit(65535) - p),
+    )
+    n_windows = n_grams - (WINNOW_W - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(keys, j, WINNOW_W)),
+    )
+    fps = F.array_distinct(
+        F.transform(mins, lambda k: F.shiftright(k, 16))
+    )
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
+
+
 def q_docs_fingerprint(spark, sf_dir):
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     return _docs(spark, sf_dir).select("doc_id", F.md5(norm).alias("fingerprint"))
@@ -644,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "docs_token_stats": q_docs_token_stats,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_winnow": q_docs_winnow,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_langid": q_docs_langid,
         "docs_quality": q_docs_quality,
@@ -1087,6 +1121,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": (
             r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
             "AS fingerprint FROM documents"
+        ),
+        "docs_winnow": (
+            f"WITH d AS (SELECT doc_id, text FROM documents "
+            f"WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}), "
+            "ks AS (SELECT doc_id, list_transform("
+            f"range(1, length(text) - {WINNOW_K} + 2), "
+            f"p -> TRY_CAST('0x' || substr(md5(substr(text, CAST(p AS INT), {WINNOW_K})), 1, 10) "
+            "AS BIGINT) * 65536 + (65535 - p)) AS keys FROM d), "
+            "mins AS (SELECT doc_id, list_distinct(list_transform("
+            f"range(1, len(keys) - {WINNOW_W} + 2), "
+            f"j -> list_min(keys[CAST(j AS INT):CAST(j + {WINNOW_W} - 1 AS INT)]) // 65536)) AS fps "
+            "FROM ks) "
+            "SELECT doc_id, unnest(fps) AS fp FROM mins"
         ),
         "docs_exact_dedup": (
             "SELECT md5(substr(text, 1, 80)) AS prefix_fp, count(*) AS dup_count, "
