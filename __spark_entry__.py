@@ -346,31 +346,15 @@ WINNOW_W = 4
 
 
 def q_docs_winnow(spark, sf_dir):
-    """Rolling-hash document fingerprints via winnowing: hash every char
-    k-gram, keep the minimum hash of each length-w window (rightmost wins
-    ties), distinct per doc. Tie-break is encoded in the key itself —
-    ``h * 2^16 + (2^16 - 1 - pos)`` — so a plain array_min is exact; the
-    oracle mirrors the identical packing. Positions fit 16 bits (docs are
-    length-bounded; at scale shard long docs first), hashes use 40 bits of
-    md5 so keys stay < 2^56."""
+    """Rolling-hash document fingerprints via winnowing (SIGMOD'03) —
+    implementation in textops.winnow: 40-bit md5 gram hashes, 20-bit
+    shard-local position packing (exact rightmost-min tie-break via a plain
+    array_min), transparent sharding for docs beyond the position range.
+    The oracle mirrors packing AND sharding."""
+    from security_log_analysis_rust_spark.textops.winnow import winnow_fingerprints
+
     docs = _spread_small_input(_docs(spark, sf_dir))
-    docs = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
-    s = F.col("text")
-    n_grams = F.length(s) - (WINNOW_K - 1)
-    keys = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda p: F.conv(F.substring(F.md5(F.substr(s, p, F.lit(WINNOW_K))), 1, 10), 16, 10)
-        .cast("long") * 65536 + (F.lit(65535) - p),
-    )
-    n_windows = n_grams - (WINNOW_W - 1)
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(keys, j, WINNOW_W)),
-    )
-    fps = F.array_distinct(
-        F.transform(mins, lambda k: F.shiftright(k, 16))
-    )
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
 
 def q_docs_fingerprint(spark, sf_dir):
@@ -495,17 +479,21 @@ def q_docs_minhash_lsh(spark, sf_dir):
 
     All 8 signature mins come from a single groupBy pass (8 min-aggregates,
     map-side combining) over ONE 128-bit hash per shingle: minhash *s* is
-    the 16-hex-char window of md5(sh) at offset 2s — the standard
-    one-hash-many-windows trick, 8x fewer hash evaluations than per-seed
-    hashing (the hash dominated the query's cost). No seed explode, no
-    broadcast of the corpus-sized bucket frame."""
+    the DISJOINT 4-hex-char (16-bit) window of md5(sh) at offset 4s — the
+    standard one-hash-many-slices trick, 8x fewer hash evaluations than
+    per-seed hashing (the hash dominated the query's cost). Disjoint slices
+    of a strong hash are independent uniform draws, so a band of 2 collides
+    with probability ~J^2 as LSH theory requires (overlapping windows would
+    correlate the minhashes and collide with probability ~J, inflating false
+    candidates). No seed explode, no broadcast of the corpus-sized bucket
+    frame."""
     sh = _doc_shingles(_docs(spark, sf_dir))
     # project the hash ONCE per row; the 8 aggregates only slice it
     # (an expression inside each agg would be re-evaluated 8x)
     hashed = sh.select("doc_id", F.md5(F.col("sh")).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(F.col("h"), 2 * s + 1, 16)).alias(f"mh{s}")
+            F.min(F.substring(F.col("h"), 4 * s + 1, 4)).alias(f"mh{s}")
             for s in range(8)
         ]
     )
@@ -584,6 +572,10 @@ def q_emb_top1(spark, sf_dir):
 #: fixed parameters shared by the Spark queries and their oracles
 SIMHASH_BANDS = 8
 SIMHASH_RADIUS = 6
+#: per-(band, key) bucket cap for simhash near-dups (recall contract: pairs
+#: held together ONLY by over-cap buckets are not reported; mirrored in the
+#: oracle). See textops.simhash.DEFAULT_BUCKET_CAP.
+SIMHASH_BUCKET_CAP = 2000
 ANN_K = 5
 ANN_BITS = 4
 ANN_TABLES = 8
@@ -602,7 +594,8 @@ def q_docs_simhash_dups(spark, sf_dir):
     # word-soup synthetic docs share vocabulary heavily, so distances are
     # compressed; a tight radius keeps this a near-dup (not near-half) result
     return simhash_near_dups(
-        _docs(spark, sf_dir), max_hamming=SIMHASH_RADIUS, n_bands=SIMHASH_BANDS
+        _docs(spark, sf_dir), max_hamming=SIMHASH_RADIUS,
+        n_bands=SIMHASH_BANDS, bucket_cap=SIMHASH_BUCKET_CAP,
     )
 
 
@@ -617,6 +610,28 @@ def q_emb_topk_lsh(spark, sf_dir):
 
     return lsh_topk(
         _emb(spark, sf_dir), k=ANN_K, n_bits=ANN_BITS, n_tables=ANN_TABLES
+    )
+
+
+#: auto-sized ANN contract: plane BANK size (literals shared with the
+#: oracle regardless of the resolved bit count) and the expected-bucket
+#: target. The target is scaled down from the 4096 production default so the
+#: auto path RESOLVES DIFFERENTLY from the pinned ANN_BITS=4 demo at test
+#: scale (500 vectors / 16 -> 5 bits) — the oracle derives the same count
+#: from the corpus size, so the derivation itself is correctness-gated.
+ANN_MAX_BITS = 12
+ANN_AUTO_TARGET = 16
+
+
+def q_emb_topk_lsh_auto(spark, sf_dir):
+    """The configuration you'd actually run at scale: bit count grows with
+    log2(N) (textops.ann.auto_n_bits) so expected bucket size stays bounded;
+    planes come from a fixed bank so the literals are reproducible."""
+    from security_log_analysis_rust_spark.textops.ann import lsh_topk
+
+    return lsh_topk(
+        _emb(spark, sf_dir), k=ANN_K, n_bits=None, n_tables=ANN_TABLES,
+        target_bucket=ANN_AUTO_TARGET, bank_bits=ANN_MAX_BITS,
     )
 
 
@@ -688,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_dups": q_docs_simhash_dups,
         "emb_topk_bruteforce": q_emb_topk_bruteforce,
         "emb_topk_lsh": q_emb_topk_lsh,
+        "emb_topk_lsh_auto": q_emb_topk_lsh_auto,
         "emb_topk_ivf": q_emb_topk_ivf,
         "emb_near_dups": q_emb_near_dups,
     }
@@ -874,23 +890,62 @@ def _simhash_sig_cte() -> str:
 
 
 def _simhash_dups_sql() -> str:
+    """Mirror of textops.simhash.near_dups_from_sigs: combination-block keys
+    (every r=2 pair of 8-bit blocks -> 16-bit keys, Manku WWW'07) and the
+    same over-cap bucket drop (SIMHASH_BUCKET_CAP)."""
+    from security_log_analysis_rust_spark.textops.simhash import band_combos
+
     width = 64 // SIMHASH_BANDS
     band_rows = ", ".join(
-        f"({b}, CAST('{1 << (b * width)}' AS HUGEINT))"
-        for b in range(SIMHASH_BANDS)
+        f"({ci}, CAST('{1 << (combo[0] * width)}' AS HUGEINT), "
+        f"CAST('{1 << (combo[1] * width)}' AS HUGEINT))"
+        for ci, combo in enumerate(band_combos(SIMHASH_BANDS, SIMHASH_RADIUS))
+    )
+    blk = "CAST((u // {d}) % {m} AS BIGINT)".format
+    key = (
+        f"{blk(d='d1', m=1 << width)} * {1 << width} + {blk(d='d2', m=1 << width)}"
     )
     return _simhash_sig_cte() + (
         ", uns AS (SELECT doc_id, simhash, CASE WHEN simhash < 0 "
         "THEN CAST(simhash AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT) "
         "ELSE CAST(simhash AS HUGEINT) END AS u FROM sig), "
-        f"bd(band, d) AS (VALUES {band_rows}), "
+        f"bd(band, d1, d2) AS (VALUES {band_rows}), "
         "bands AS (SELECT doc_id, simhash, band, "
-        f"CAST((u // d) % {1 << width} AS BIGINT) AS key FROM uns CROSS JOIN bd), "
+        f"{key} AS key FROM uns CROSS JOIN bd), "
+        "bc AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2), "
+        "bok AS (SELECT bands.* FROM bands JOIN bc USING (band, key) "
+        f"WHERE bc.n <= {SIMHASH_BUCKET_CAP}), "
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, "
-        "a.simhash AS sa, b.simhash AS sb FROM bands a JOIN bands b "
+        "a.simhash AS sa, b.simhash AS sb FROM bok a JOIN bok b "
         "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) "
         "SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
         f"FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_RADIUS}"
+    )
+
+
+def _docs_winnow_sql() -> str:
+    """Mirror of textops.winnow.winnow_fingerprints: shard offsets (overlap
+    k+w-2), per-shard 40-bit-md5 x 20-bit-position packed keys, window mins,
+    DISTINCT across shards."""
+    from security_log_analysis_rust_spark.textops.winnow import POS_MOD, SHARD_CHARS
+
+    ov = WINNOW_K + WINNOW_W - 2
+    step = SHARD_CHARS - ov
+    return (
+        f"WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents "
+        f"WHERE length(text) >= {ov + 1}), "
+        f"shards AS (SELECT doc_id, text, n, "
+        f"unnest(range(0, greatest(n - {ov}, 1), {step})) AS o FROM d), "
+        "ks AS (SELECT doc_id, list_transform("
+        f"range(1, least({SHARD_CHARS}, n - o) - {WINNOW_K} + 2), "
+        f"p -> TRY_CAST('0x' || substr(md5(substr(text, CAST(o + p AS INT), {WINNOW_K})), 1, 10) "
+        f"AS BIGINT) * {POS_MOD} + ({POS_MOD - 1} - p)) AS keys FROM shards), "
+        "mins AS (SELECT doc_id, list_transform("
+        f"range(1, len(keys) - {WINNOW_W} + 2), "
+        f"j -> list_min(keys[CAST(j AS INT):CAST(j + {WINNOW_W} - 1 AS INT)]) // {POS_MOD}) AS fps "
+        "FROM ks) "
+        "SELECT DISTINCT doc_id, fp FROM "
+        "(SELECT doc_id, unnest(fps) AS fp FROM mins) t"
     )
 
 
@@ -917,30 +972,44 @@ def _emb_topk_bruteforce_sql() -> str:
     )
 
 
-def _lsh_bucket_cte() -> str:
+def _lsh_bucket_cte(auto_target: int | None = None) -> str:
     """Shared CTEs: v + seeded hyperplane literals + per-(tbl) buckets —
     same constants as textops.ann.seeded_planes (shared deterministic
-    literals; independent implementations)."""
+    literals; independent implementations).
+
+    ``auto_target``: mirror the auto-sized path — embed the full
+    ANN_MAX_BITS plane bank and derive the live bit count from the corpus
+    size inside SQL (greatest(4, ceil(log2(N / target))) =
+    textops.ann.auto_n_bits), filtering the bank to the first n bits."""
     from security_log_analysis_rust_spark.textops.ann import seeded_planes
 
-    planes = seeded_planes(ANN_TABLES, ANN_BITS, EMB_DIM, seed=7)
+    gen_bits = ANN_MAX_BITS if auto_target else ANN_BITS
+    planes = seeded_planes(ANN_TABLES, gen_bits, EMB_DIM, seed=7)
     rows = ", ".join(
         f"({t}, {b}, CAST([{', '.join(repr(x) for x in planes[t][b])}] AS DOUBLE[]))"
         for t in range(ANN_TABLES)
-        for b in range(ANN_BITS)
+        for b in range(gen_bits)
     )
-    return _EMB_V_CTE + (
+    nb_cte, bit_filter = "", ""
+    if auto_target:
+        nb_cte = (
+            ", nb AS (SELECT greatest(4, CAST(ceil(log2("
+            f"greatest(count(*), 1) / {auto_target}.0)) AS INT)) AS n "
+            "FROM embeddings)"
+        )
+        bit_filter = " WHERE bit < (SELECT n FROM nb)"
+    return _EMB_V_CTE + nb_cte + (
         f", planes(tbl, bit, plane) AS (VALUES {rows}), "
         "bits AS (SELECT vec_id, tbl, CASE WHEN "
         "list_sum(list_transform(list_zip(e, plane), z -> z[1] * z[2])) > 0 "
-        "THEN (1 << bit) ELSE 0 END AS bv FROM v CROSS JOIN planes), "
+        f"THEN (1 << bit) ELSE 0 END AS bv FROM v CROSS JOIN planes{bit_filter}), "
         "buckets AS (SELECT vec_id, tbl, CAST(sum(bv) AS BIGINT) AS bucket "
         "FROM bits GROUP BY 1, 2)"
     )
 
 
-def _emb_topk_lsh_sql() -> str:
-    return _lsh_bucket_cte() + (
+def _emb_topk_lsh_sql(auto_target: int | None = None) -> str:
+    return _lsh_bucket_cte(auto_target) + (
         ", cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
         "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
         "AND a.vec_id != b.vec_id), "
@@ -1122,19 +1191,7 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
             "AS fingerprint FROM documents"
         ),
-        "docs_winnow": (
-            f"WITH d AS (SELECT doc_id, text FROM documents "
-            f"WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}), "
-            "ks AS (SELECT doc_id, list_transform("
-            f"range(1, length(text) - {WINNOW_K} + 2), "
-            f"p -> TRY_CAST('0x' || substr(md5(substr(text, CAST(p AS INT), {WINNOW_K})), 1, 10) "
-            "AS BIGINT) * 65536 + (65535 - p)) AS keys FROM d), "
-            "mins AS (SELECT doc_id, list_distinct(list_transform("
-            f"range(1, len(keys) - {WINNOW_W} + 2), "
-            f"j -> list_min(keys[CAST(j AS INT):CAST(j + {WINNOW_W} - 1 AS INT)]) // 65536)) AS fps "
-            "FROM ks) "
-            "SELECT doc_id, unnest(fps) AS fp FROM mins"
-        ),
+        "docs_winnow": _docs_winnow_sql(),
         "docs_exact_dedup": (
             "SELECT md5(substr(text, 1, 80)) AS prefix_fp, count(*) AS dup_count, "
             "min(doc_id) AS representative FROM documents GROUP BY 1"
@@ -1185,7 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_minhash_lsh": _DOC_SHINGLE_CTE + (
             ", sig AS (SELECT doc_id, t.s, "
-            "min(substr(md5(sh), CAST(2 * t.s + 1 AS INT), 16)) AS mh "
+            "min(substr(md5(sh), CAST(4 * t.s + 1 AS INT), 4)) AS mh "
             "FROM shing, range(8) t(s) GROUP BY doc_id, t.s), "
             "bands AS (SELECT doc_id, CAST(floor(s / 2) AS INT) AS band, "
             "md5(string_agg(mh, '|' ORDER BY s)) AS bucket "
@@ -1211,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_dups": _simhash_dups_sql(),
         "emb_topk_bruteforce": _emb_topk_bruteforce_sql(),
         "emb_topk_lsh": _emb_topk_lsh_sql(),
+        "emb_topk_lsh_auto": _emb_topk_lsh_sql(auto_target=ANN_AUTO_TARGET),
         "emb_topk_ivf": _emb_topk_ivf_sql(),
         "emb_near_dups": _emb_near_dups_sql(),
     }

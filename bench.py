@@ -190,7 +190,8 @@ def run_parse_scaling_level(
 
 
 def run_scaling(
-    sf_dir: str, replicate: int = 24, levels=(8, 32), trials: int = 2
+    sf_dir: str, replicate: int = 24, levels=(8, 32), trials: int = 2,
+    rounds: int = 2,
 ) -> dict:
     """Same job, two parallelism levels, identical input, steady-state.
 
@@ -206,8 +207,8 @@ def run_scaling(
 
     # The sandbox VM has noisy-neighbor variance on the scale of minutes;
     # alternate the levels across rounds and keep each level's best round so
-    # both levels sample the same noise distribution.
-    rounds = 2
+    # both levels sample the same noise distribution. (``rounds=1`` for the
+    # long local[1] composite runs, where one round already exceeds 30 min.)
     results = {}
     for rnd in range(rounds):
         for cpus in levels:
@@ -368,6 +369,9 @@ def main():
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--levels", default="8,32",
                     help="comma-separated core counts, N and 4N (e.g. 4,16)")
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="noise-averaging rounds for --scaling (use 1 for "
+                         "the long local[1] composite runs)")
     args = ap.parse_args()
     args.levels = tuple(int(x) for x in args.levels.split(","))
     if args.replicate is None:
@@ -405,7 +409,7 @@ def main():
     if args.scaling:
         scaling = run_scaling(
             args.sf_dir, replicate=args.replicate, trials=args.trials,
-            levels=args.levels,
+            levels=args.levels, rounds=args.rounds,
         )
         result["scaling"] = scaling
         result["value"] = scaling[f"local[{args.levels[1]}]"]["seconds"]

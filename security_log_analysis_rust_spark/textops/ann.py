@@ -132,6 +132,7 @@ def with_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bank_bits: int | None = None,
 ) -> DataFrame:
     """-> (id_col, tbl, bucket): sign-pattern bucket per (vector, table).
 
@@ -139,11 +140,20 @@ def with_lsh_buckets(
     broadcast of a dim-sized (not corpus-sized) frame — and the sign bits
     are zip_with/aggregate expressions inside codegen. One map-side pass,
     one groupBy on (id, tbl) whose input is N * n_tables * n_bits rows.
+
+    ``bank_bits``: generate a fixed-size plane BANK and use its first
+    ``n_bits`` planes per table. The bank decouples the plane *values* from
+    the (data-dependent) bit count, so an auto-sized run and an independent
+    SQL oracle agree on the literals whatever n_bits resolves to. When
+    ``n_bits`` outgrows the bank (corpus beyond the bank's design range),
+    exact-size generation takes over — the bank is an oracle-reproducibility
+    device, not a scale limit.
     """
     spark = emb.sparkSession
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    planes = seeded_planes(n_tables, n_bits, dim, seed=seed)
+    gen_bits = bank_bits if (bank_bits and bank_bits >= n_bits) else n_bits
+    planes = seeded_planes(n_tables, gen_bits, dim, seed=seed)
     rows = [
         (t, b, planes[t][b]) for t in range(n_tables) for b in range(n_bits)
     ]
@@ -209,6 +219,8 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 4096,
+    bank_bits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine among LSH-bucket candidates only.
 
@@ -220,14 +232,16 @@ def lsh_topk(
     vector. No corpus-sized broadcast, no driver-side collect.
 
     ``n_bits=None`` auto-sizes the bit count from the corpus so expected
-    bucket size stays bounded as N grows (:func:`auto_n_bits`); pass an
-    explicit value for reproducible small-scale results.
+    bucket size stays ~``target_bucket`` as N grows (:func:`auto_n_bits`);
+    pass an explicit value for reproducible small-scale results.
+    ``bank_bits`` pins the plane literals independently of the resolved bit
+    count (see :func:`with_lsh_buckets`) so the auto path is oracle-pairable.
     """
     if n_bits is None:
-        n_bits = auto_n_bits(emb.count())
+        n_bits = auto_n_bits(emb.count(), target_bucket)
     buckets = with_lsh_buckets(
         emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, bank_bits=bank_bits,
     )
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     grouped = buckets.withColumnRenamed(id_col, "vec_id").join(base, "vec_id")

@@ -69,42 +69,105 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return per_doc.select(id_col, sig.alias("simhash"))
 
 
+#: per-(band, key) bucket cap — buckets larger than this are dropped before
+#: pair generation (the JACCARD_DF_CAP pattern). A bucket that big at a sane
+#: key width is boilerplate (e.g. empty docs hashing identically), and its
+#: C(n,2) explode would be quadratic; the recall contract is that pairs held
+#: together ONLY by over-cap buckets are not reported. The exact Hamming
+#: filter keeps everything that IS reported correct.
+DEFAULT_BUCKET_CAP = 2000
+
+
+def band_combos(n_bands: int, max_hamming: int) -> list:
+    """Block-combination keys (Manku et al., WWW'07 simhash dedup).
+
+    Split the 64-bit signature into ``n_bands`` blocks. A pair within
+    Hamming distance ``max_hamming`` differs in at most ``max_hamming``
+    blocks, hence AGREES on at least ``r = n_bands - max_hamming`` blocks —
+    so keying each doc by every r-subset of blocks finds every such pair
+    with equi-matches (complete, never an all-pairs scan). Wider keys
+    (``r * width`` bits) mean exponentially more buckets than single-block
+    banding: r=2 over 8-bit blocks gives 2^16 buckets/band vs 2^8, so the
+    expected bucket is N/65536 instead of N/256 — the difference between a
+    bounded explode and a quadratic one at scale.
+
+    ``r`` is capped at 2: completeness only needs ``r <= n_bands -
+    max_hamming``, and C(n_bands, 2) keys per doc is the shuffle-volume
+    sweet spot (r=5 would emit 56 keys/doc for marginal extra precision).
+    """
+    import itertools
+
+    r = max(1, min(2, n_bands - max_hamming))
+    return list(itertools.combinations(range(n_bands), r))
+
+
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """Candidate pairs within ``max_hamming`` bits, via band-blocking.
-
-    Pigeonhole guarantee: any pair within Hamming distance ``n_bands - 1``
-    shares at least one exact band, so candidates are found with equi-joins,
-    never an all-pairs scan; the exact Hamming check prunes false positives.
-    Pick ``n_bands > max_hamming`` for a complete result.
-    """
+    """Candidate pairs within ``max_hamming`` bits, via combination-blocking
+    (:func:`band_combos`) with a bucket-size cap. Pick
+    ``n_bands > max_hamming`` for a complete result."""
     sigs = simhash(docs, id_col, text_col)
+    return near_dups_from_sigs(
+        sigs, id_col=id_col, max_hamming=max_hamming, n_bands=n_bands,
+        bucket_cap=bucket_cap,
+    )
+
+
+def near_dups_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bands: int = 8,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs from precomputed signatures.
+
+    Physical plan: explode C(n_bands, r) combination keys per doc, drop
+    over-cap (band, key) buckets via an anti-join on the hot-key frame — no
+    fat ``collect_list`` array is ever materialized — then within-bucket
+    C(n,2) combinations bounded by ``bucket_cap``, then the exact Hamming
+    filter. The hot-key frame is unhinted on purpose: on a normal corpus it
+    is near-empty (AQE broadcasts it at runtime), but on a pathological one
+    (everything identical) it can be large, and a hard broadcast hint would
+    OOM exactly when the cap matters most. Both aggregations shuffle on the
+    same (band, key) columns, so the exchange is reused.
+    """
     width = N_BITS // n_bands
+    mask = F.lit((1 << width) - 1)
+
+    def block(b):
+        return F.shiftrightunsigned(F.col(sig_col), b * width).bitwiseAND(mask)
+
+    entries = []
+    for ci, combo in enumerate(band_combos(n_bands, max_hamming)):
+        key = block(combo[0]).cast("long")
+        for b in combo[1:]:
+            key = F.shiftleft(key, width).bitwiseOR(block(b))
+        entries.append(F.struct(F.lit(ci).alias("band"), key.alias("key")))
     bands = sigs.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.col(id_col), F.col(sig_col).alias("simhash"),
+        F.explode(F.array(*entries)).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
+
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > bucket_cap)
+            .select("band", "key")
+        )
+        bands = bands.join(hot, ["band", "key"], "left_anti")
+
     # candidate pairs via within-band-bucket combinations — one shuffle on
-    # (band, key), no self-join; bucket members are near-dup clusters so the
-    # C(n,2) explode per bucket stays small
+    # (band, key), no self-join; bucket size is <= bucket_cap so the C(n,2)
+    # explode per bucket is bounded
     members = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")))
     )

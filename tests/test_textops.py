@@ -210,3 +210,112 @@ def test_real_decoder_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\x89PNG fake")
+
+
+def test_simhash_bucket_cap_bounds_work(spark):
+    """A band bucket holding thousands of docs (the r2 quadratic risk) is
+    dropped by the cap BEFORE any collect_list materializes, so the job does
+    bounded work; pairs found via small buckets still come through."""
+    import random
+
+    from security_log_analysis_rust_spark.textops.simhash import (
+        near_dups_from_sigs,
+    )
+
+    rng = random.Random(7)
+
+    def sig():  # signed-long two's-complement wrap
+        v = (rng.getrandbits(48) << 16) | 0xABCD
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    # 5000 sigs agreeing on blocks 0+1 (low 16 bits) -> the (0,1) combo key
+    # holds all 5000; the other 27 combos involve random blocks
+    rows = [(i, sig()) for i in range(5000)]
+    planted = sig()
+    rows += [(10_000, planted), (10_001, planted)]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in near_dups_from_sigs(
+            sigs, max_hamming=3, n_bands=8, bucket_cap=2000
+        ).collect()
+    }
+    assert (10_000, 10_001) in pairs  # identical pair found via small buckets
+    # random 48-bit-distinct sigs are never within hamming 3 of each other
+    assert all(a >= 10_000 for a, _ in pairs), sorted(pairs)[:5]
+
+
+def test_simhash_combination_blocking_complete_at_radius(spark):
+    """Adversarial pair: 6 flipped bits spread over 6 DIFFERENT blocks (the
+    worst case for blocking at radius 6). The r=2 combination keys must
+    still find it — the pair agrees on blocks 6 and 7."""
+    from security_log_analysis_rust_spark.textops.simhash import (
+        near_dups_from_sigs,
+    )
+
+    base = 0x0123456789ABCDEF
+    flipped = base
+    for blk in range(6):  # flip one bit in each of blocks 0..5
+        flipped ^= 1 << (blk * 8 + 3)
+    sigs = spark.createDataFrame(
+        [(1, base), (2, flipped)], "doc_id long, simhash long"
+    )
+    got = near_dups_from_sigs(sigs, max_hamming=6, n_bands=8).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in got] == [(1, 2, 6)]
+
+
+def test_winnow_long_doc_exact(spark):
+    """An 80k-char doc (beyond the old 16-bit position cap) fingerprints
+    byte-exactly vs the pure-Python winnowing reference."""
+    import random
+    import string
+
+    from security_log_analysis_rust_spark.textops.winnow import (
+        winnow_fingerprints,
+        winnow_fingerprints_py,
+    )
+
+    rng = random.Random(11)
+    text = "".join(rng.choices(string.ascii_lowercase + " ", k=80_000))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.fp for r in winnow_fingerprints(df).collect()}
+    assert got == winnow_fingerprints_py(text)
+    assert len(got) > 1000  # sanity: fingerprints actually sampled
+
+
+def test_winnow_sharding_matches_unsharded(spark):
+    """Sharding is semantics-free: tiny shards (forcing ~25 shards over a
+    5k-char doc) produce the identical fingerprint set as one shard, which
+    matches the pure-Python reference."""
+    import random
+    import string
+
+    from security_log_analysis_rust_spark.textops.winnow import (
+        winnow_fingerprints,
+        winnow_fingerprints_py,
+    )
+
+    rng = random.Random(13)
+    text = "".join(rng.choices(string.ascii_lowercase + " .,", k=5_000))
+    df = spark.createDataFrame([(1, text), (2, text[:100])], "doc_id long, text string")
+    sharded = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(df, shard_chars=200).collect()
+    }
+    single = {
+        (r.doc_id, r.fp) for r in winnow_fingerprints(df).collect()
+    }
+    assert sharded == single
+    assert {fp for d, fp in sharded if d == 1} == winnow_fingerprints_py(text)
+    assert {fp for d, fp in sharded if d == 2} == winnow_fingerprints_py(text[:100])
+
+
+def test_lsh_auto_sizing_differs_from_pinned_at_test_scale():
+    """The oracle-paired auto query must actually exercise the auto path:
+    at 500 vectors with the scaled-down target it resolves to 5 bits, not
+    the pinned 4."""
+    import __spark_entry__ as E
+    from security_log_analysis_rust_spark.textops.ann import auto_n_bits
+
+    assert auto_n_bits(500, E.ANN_AUTO_TARGET) == 5
+    assert E.ANN_BITS == 4
