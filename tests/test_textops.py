@@ -205,11 +205,128 @@ def test_parse_wav_header():
     assert parse_wav_header(b"short") is None
 
 
-def test_real_decoder_is_explicit_stub():
-    from security_log_analysis_rust_spark.textops.multimodal import _decode_image_real
+def _encode_png(pixels, filters):
+    """Forward PNG encoder (test-only): applies the given per-row filter
+    types, so the decoder's unfiltering is exercised against known pixels."""
+    import struct
+    import zlib
 
-    with pytest.raises(NotImplementedError):
-        _decode_image_real(b"\x89PNG fake")
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import _paeth
+
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b""
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = pixels[y].reshape(-1).astype(np.int32)
+        filt = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            left = int(line[x - c]) if x >= c else 0
+            up = int(prev[x])
+            ul = int(prev[x - c]) if x >= c else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: _paeth(left, up, ul)}[f]
+            filt[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_exact_pixels_all_filters(spark):
+    """Real PNG pixel decode: every filter type (None/Sub/Up/Average/Paeth)
+    round-trips to the exact source pixels, and decode_media's features are
+    derived from those real pixels."""
+    import random
+
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        decode_png,
+        image_features,
+    )
+
+    rng = random.Random(3)
+    for c in (1, 2, 3, 4):
+        pixels = np.array(
+            [[[rng.randrange(256) for _ in range(c)] for _ in range(9)]
+             for _ in range(10)],
+            dtype=np.uint8,
+        )
+        png = _encode_png(pixels, filters=[0, 1, 2, 3, 4])
+        got = decode_png(png)
+        assert got is not None and got.shape == (10, 9, c)
+        assert (got == pixels).all(), f"channels={c}"
+
+    # through the Spark pipeline: dims + features come from the real pixels
+    pixels = np.array(
+        [[[rng.randrange(256) for _ in range(3)] for _ in range(8)]
+         for _ in range(8)],
+        dtype=np.uint8,
+    )
+    png = _encode_png(pixels, filters=[4, 3, 2, 1, 0])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png")], MEDIA_SCHEMA
+    )
+    row = decode_media(media).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (8, 8, 3)
+    expected = image_features(pixels)
+    assert np.allclose(row.features, expected, atol=1e-5)
+
+
+def test_decode_wav_exact_samples(spark):
+    """Real WAV PCM decode: the exact int16 samples come back, and
+    decode_audio reports rate/channels/sample-count + windowed RMS."""
+    import struct
+
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+        decode_wav,
+    )
+
+    samples = np.array(
+        [[100, -100], [2000, -2000], [-32768, 32767], [0, 5]], dtype="<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 2 * 2, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, got = decode_wav(wav)
+    assert rate == 8000 and (got == samples).all()
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav"),
+         (2, "audio", bytearray(b"not audio at all"), "audio/wav"),
+         (3, "video", bytearray(wav), "video/x")],  # wrong kind: filtered out
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert set(rows) == {1, 2}
+    ok = rows[1]
+    assert (ok.sample_rate, ok.n_channels, ok.n_samples, ok.ok) == (8000, 2, 4, "ok")
+    assert len(ok.features) == 16 and all(0 <= f <= 1 for f in ok.features)
+    assert rows[2].ok == "corrupt"
 
 
 def test_simhash_bucket_cap_bounds_work(spark):
