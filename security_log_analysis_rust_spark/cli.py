@@ -85,6 +85,14 @@ def main(argv=None) -> int:
     p.add_argument("--export", default=None, help="monthly export dir for /all")
     p.add_argument("--port", type=int,
                    default=4086)  # reference default (security_log_http.rs:609-612)
+    p.add_argument(
+        "--placeholder-resolver", action="store_true",
+        help="resolve dangling hosts to the placeholder country 'ZZ' during "
+             "/cleanup (testing only). Default: unresolved hosts are SKIPPED, "
+             "like the reference's failed whois lookups — a fabricated code "
+             "would be persisted into host_country and the host could never "
+             "be re-resolved with real data.",
+    )
 
     p = sub.add_parser("daemon", help="streaming journald follow")
     p.add_argument("--input", required=True)
@@ -231,11 +239,19 @@ def _dispatch(spark, args) -> int:
 
     if args.cmd == "serve":
         from .http_api import SecurityLogApp, serve
-        from .pipeline.dims import classify_whois_line
 
+        # no live whois in this sandbox: by default every dangling host
+        # resolves to None (skipped — the reference's failed-lookup path,
+        # host_country_metadata.rs), so nothing fabricated is ever upserted
+        # into host_country. --placeholder-resolver opts into 'ZZ' for tests.
+        resolver = None
+        if args.placeholder_resolver:
+            from .pipeline.dims import classify_whois_line
+
+            resolver = lambda h: classify_whois_line(f"country: ZZ # {h}")  # noqa: E731
         app = SecurityLogApp(
             spark, args.sink, args.dims, export_dir=args.export,
-            resolver=lambda h: classify_whois_line(f"country: ZZ # {h}"),
+            resolver=resolver,
         )
         srv = serve(app, port=args.port)
         print(json.dumps({"serving": srv.server_address[1]}), flush=True)

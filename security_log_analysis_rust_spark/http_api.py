@@ -132,6 +132,15 @@ class SecurityLogApp:
         self.cache = TimedSizedCache(100, 3600.0)
         self.cache_all = TimedSizedCache(100, 3600.0)
         self.compute_calls = 0
+        # Mutating endpoints rewrite live sink/dim directories with
+        # rmtree + os.replace; a concurrent read mid-swap would see vanished
+        # parquet files and two writers would clobber each other's .tmp.
+        # The stdlib layer is a thin adapter, so requests are serialized
+        # wholesale (single-flight) rather than building a reader/writer
+        # protocol the table format would own at scale.
+        import threading
+
+        self.lock = threading.RLock()
 
     # -- data access ---------------------------------------------------------
 
@@ -379,6 +388,8 @@ class SecurityLogApp:
             r.asDict()
             for r in merged.filter(F.col("host").isin(list(missing))).collect()
         ] if missing else []
+        if not new_rows:  # nothing resolved (e.g. no live whois): no rewrite
+            return []
         from .pipeline.dims import overwrite_dim
 
         overwrite_dim(merged, os.path.join(self.dims_dir, "host_country.parquet"))
@@ -406,16 +417,32 @@ def make_handler(app: SecurityLogApp):
             self.end_headers()
             self.wfile.write(data)
 
+        # single-flight: see SecurityLogApp.lock. The lock is taken AFTER
+        # the request line/headers are read (not around handle_one_request),
+        # so an idle keep-alive connection can't hold it.
         def do_GET(self):
+            with app.lock:
+                self._do_get()
+
+        def do_POST(self):
+            with app.lock:
+                self._do_post()
+
+        def do_DELETE(self):
+            with app.lock:
+                self._do_delete()
+
+        def _do_get(self):
             u = urlparse(self.path)
-            qs = parse_qs(u.query)
-            service = _qp(qs, "service")
-            location = _HOST_ALIAS.get(
-                _qp(qs, "location") or "", _qp(qs, "location")
-            )
-            ndays = _qp(qs, "ndays")
-            ndays = int(ndays) if ndays is not None else None
-            try:
+            try:  # param parsing inside the error path: ?ndays=abc must
+                # produce an HTTP error response, not a dropped connection
+                qs = parse_qs(u.query)
+                service = _qp(qs, "service")
+                location = _HOST_ALIAS.get(
+                    _qp(qs, "location") or "", _qp(qs, "location")
+                )
+                ndays = _qp(qs, "ndays")
+                ndays = int(ndays) if ndays is not None else None
                 if u.path == "/security_log/intrusion_attempts":
                     body = app.attempts_body(service, location, ndays)
                     self._send(_INDEX_HTML.replace("__DATA__", body))
@@ -455,7 +482,7 @@ def make_handler(app: SecurityLogApp):
             except Exception as e:  # 500 with the message, like warp's reject
                 self._send(f"error: {e}", status=500)
 
-        def do_POST(self):
+        def _do_post(self):
             length = int(self.headers.get("Content-Length") or 0)
             try:
                 body = json.loads(self.rfile.read(length) or b"{}")
@@ -471,7 +498,7 @@ def make_handler(app: SecurityLogApp):
             except Exception as e:
                 self._send(f"error: {e}", status=500)
 
-        def do_DELETE(self):
+        def _do_delete(self):
             m = re.fullmatch(r"/security_log/log_messages/([^/]+)", self.path)
             if not m:
                 self._send("not found", status=404)

@@ -68,6 +68,9 @@ def enrich_new_hosts(
 
     from .enrich import dangling_hosts
 
+    if resolver is None:  # no live whois: skip every host (upsert nothing)
+        resolver = lambda h: None  # noqa: E731
+
     missing = dangling_hosts(events, host_country)
 
     def gen(batches):

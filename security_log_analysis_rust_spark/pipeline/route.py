@@ -111,6 +111,39 @@ def sink_month_filter(df: DataFrame, since: str) -> DataFrame:
     return df.filter(F.col("datetime") >= F.lit(since))
 
 
+def _migrate_unpartitioned_sink(spark: SparkSession, sink_path: str) -> bool:
+    """One-time atomic rewrite of a legacy flat sink into the
+    month-partitioned layout.
+
+    Appending ``partitionBy(dt_month)`` files next to flat part-files would
+    succeed and then brick every subsequent read ('Conflicting directory
+    structures detected'), so the legacy layout is detected (data files at
+    the sink root) and rewritten — the same tmp-dir + os.replace pattern as
+    :func:`cleanup_intrusion_log`. Returns True if a migration happened.
+    """
+    import glob as _glob
+    import shutil
+
+    root_files = [
+        p
+        for p in _glob.glob(os.path.join(sink_path, "*.parquet"))
+        if os.path.isfile(p)
+    ]
+    if not root_files:
+        return False
+    flat = spark.read.parquet(*root_files)
+    flat = flat.withColumn(MONTH_COL, F.date_format("datetime", "yyyy-MM"))
+    month_dirs = sorted(_glob.glob(os.path.join(sink_path, f"{MONTH_COL}=*")))
+    if month_dirs:  # already-mixed sink: keep both halves
+        part = spark.read.option("basePath", sink_path).parquet(*month_dirs)
+        flat = flat.unionByName(part.select(*flat.columns))
+    tmp = sink_path + ".tmp"
+    flat.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
+    shutil.rmtree(sink_path)
+    os.replace(tmp, sink_path)
+    return True
+
+
 def append_dedup(
     spark: SparkSession,
     sink_path: str,
@@ -129,6 +162,7 @@ def append_dedup(
     conflicting sink row lies in the pruned range by construction.
     """
     if os.path.exists(sink_path):
+        _migrate_unpartitioned_sink(spark, sink_path)
         existing = spark.read.parquet(sink_path)
         if since is not None:
             existing = sink_month_filter(existing, since)

@@ -219,3 +219,46 @@ def test_watermarks_folded_from_manifests_not_sink(
     r2 = run_incremental(spark, str(newer / "pages"), sink,
                          files_per_split=4, watermark=True)
     assert r2.rows["intrusion_appended"] == 1
+
+
+def test_append_to_legacy_unpartitioned_sink_migrates(spark, tmp_path_factory):
+    """ADVICE r2: a sink written before month-partitioning (flat part-files
+    at the root) is migrated once — atomically — instead of being bricked by
+    a mixed append ('Conflicting directory structures')."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from security_log_analysis_rust_spark.pipeline.route import (
+        MONTH_COL,
+        append_dedup,
+    )
+
+    sink = str(tmp_path_factory.mktemp("legacy") / "intrusion_log")
+    legacy = spark.createDataFrame(
+        [("a", "ssh", "home.ddboline.net", "2024-06-01 10:00:00", "1.2.3.4", "u1"),
+         ("b", "ssh", "home.ddboline.net", "2024-07-02 11:00:00", "5.6.7.8", None)],
+        "id string, service string, server string, datetime string, "
+        "host string, username string",
+    ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+    legacy.write.parquet(sink)  # flat, unpartitioned (the pre-r2 layout)
+    assert glob.glob(os.path.join(sink, "*.parquet"))
+
+    new = spark.createDataFrame(
+        [("c", "ssh", "home.ddboline.net", "2024-07-03 12:00:00", "9.9.9.9", None),
+         # duplicate key of an existing legacy row: must be dropped
+         ("d", "ssh", "home.ddboline.net", "2024-06-01 10:00:00", "1.2.3.4", "u1")],
+        "id string, service string, server string, datetime string, "
+        "host string, username string",
+    ).withColumn("datetime", F.col("datetime").cast("timestamp"))
+    n = append_dedup(spark, sink, new)
+    assert n == 1
+
+    # fully partitioned now: no flat files, months as directories, readable
+    assert not glob.glob(os.path.join(sink, "*.parquet"))
+    months = {os.path.basename(p) for p in glob.glob(os.path.join(sink, f"{MONTH_COL}=*"))}
+    assert months == {f"{MONTH_COL}=2024-06", f"{MONTH_COL}=2024-07"}
+    back = spark.read.parquet(sink)
+    assert back.count() == 3
+    assert back.filter(F.col("host") == "9.9.9.9").count() == 1

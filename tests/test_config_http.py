@@ -296,3 +296,44 @@ def test_cleanup_resolves_dangling_hosts(served_app, spark):
     # second cleanup: nothing dangling anymore
     status2, body2 = _get(port, "/security_log/cleanup")
     assert status2 == 200 and json.loads(body2) == []
+
+
+def test_malformed_query_param_returns_http_error(served_app):
+    """ADVICE r2: ?ndays=abc must produce an HTTP error response (param
+    parsing inside the handler's error path), not a dropped connection."""
+    _, port = served_app
+    status, body = _get(port, "/security_log/intrusion_attempts?ndays=abc")
+    assert status == 500
+    assert "error" in body
+
+
+def test_none_resolver_skips_dangling_hosts(spark, tmp_path_factory):
+    """ADVICE r2: without a real whois resolver, /cleanup must not persist
+    fabricated country codes — unresolved hosts stay dangling."""
+    import shutil
+
+    from security_log_analysis_rust_spark.pipeline.checkpoint import run_incremental
+    from security_log_analysis_rust_spark.pipeline.enrich import dangling_hosts
+    from security_log_analysis_rust_spark.pipeline.route import read_sink
+    from security_log_analysis_rust_spark.schemas import INTRUSION_LOG_SCHEMA
+
+    paths = ensure_synthetic(TESTDATA_SF_SMALL)
+    work = tmp_path_factory.mktemp("noresolver")
+    sink, dims = str(work / "sink"), str(work / "dims")
+    import os
+
+    os.makedirs(dims)
+    shutil.copyfile(paths["host_country"], f"{dims}/host_country.parquet")
+    shutil.copyfile(paths["country_code"], f"{dims}/country_code.parquet")
+    run_incremental(spark, paths["pages"], sink, files_per_split=8)
+
+    intr = read_sink(spark, f"{sink}/intrusion_log", INTRUSION_LOG_SCHEMA)
+    hc0 = spark.read.parquet(f"{dims}/host_country.parquet")
+    n_dangling = dangling_hosts(intr, hc0).count()
+    assert n_dangling > 0  # precondition
+
+    app = SecurityLogApp(spark, sink, dims, resolver=None)
+    assert app.cleanup() == []  # nothing resolved, nothing upserted
+    hc1 = spark.read.parquet(f"{dims}/host_country.parquet")
+    assert hc1.count() == hc0.count()
+    assert dangling_hosts(intr, hc1).count() == n_dangling
