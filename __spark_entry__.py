@@ -105,13 +105,9 @@ def _doc_tokens():
 
 
 def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Small demo tables arrive as 1-2 parquet splits, serializing the
-    per-row transforms that follow; spread them across the cores. At real
-    scale the input has >= cores splits and this is a no-op (no shuffle)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    from security_log_analysis_rust_spark.textops.util import spread_small_input
+
+    return spread_small_input(df)
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -551,7 +547,7 @@ def q_emb_top1(spark, sf_dir):
     # spread the probe side across cores; the candidate side broadcasts
     # (BroadcastNestedLoopJoin), so the N x N pair explosion parallelizes
     pairs = (
-        a.repartition(32)
+        a.repartition(spark.sparkContext.defaultParallelism)
         .join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
         .select(
             "a_id",

@@ -99,6 +99,12 @@ def main(argv=None) -> int:
     p.add_argument("--sink", required=True)
     p.add_argument("--server", default="home.ddboline.net")
     p.add_argument("--follow", action="store_true", help="keep tailing")
+    p.add_argument(
+        "--journalctl", action="store_true",
+        help="spawn `journalctl -f -o json` and spool it into --input "
+             "(parse_logs.rs:306-326); the stream then tails the spool",
+    )
+    p.add_argument("--journalctl-bin", default="journalctl")
 
     args = ap.parse_args(argv)
     spark = _spark(args)
@@ -261,14 +267,23 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "daemon":
         from .streaming.journald_stream import start_journald_ingest
 
-        q = start_journald_ingest(
-            spark,
-            args.input,
-            args.sink,
-            available_now=not args.follow,
-            server=args.server,
-        )
-        q.awaitTermination()
+        follower = None
+        if args.journalctl:
+            from .sources.journalctl import follow_journalctl
+
+            follower = follow_journalctl(args.input, binary=args.journalctl_bin)
+        try:
+            q = start_journald_ingest(
+                spark,
+                args.input,
+                args.sink,
+                available_now=not args.follow,
+                server=args.server,
+            )
+            q.awaitTermination()
+        finally:
+            if follower is not None:
+                follower.stop()
         print(json.dumps({"stopped": True}))
         return 0
 

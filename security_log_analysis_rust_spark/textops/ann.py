@@ -73,11 +73,9 @@ def _norm(c: str):
 
 
 def _as_double_vec(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    # small demo tables arrive as 1-2 parquet splits, serializing the
-    # per-vector math; spread them (no-op at scale: splits >= cores)
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < par:
-        emb = emb.repartition(par)
+    from .util import spread_small_input
+
+    emb = spread_small_input(emb)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return emb.select(F.col(id_col), vec.alias("v"))
 

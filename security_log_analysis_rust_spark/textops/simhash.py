@@ -39,10 +39,10 @@ def _token_hash_halves(tok_col):
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (id_col, simhash: long)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        # small demo inputs arrive as 1-2 splits; spread the tokenize work
-        docs = docs.repartition(par)
+    from .util import spread_small_input
+
+    # small demo inputs arrive as 1-2 splits; spread the tokenize work
+    docs = spread_small_input(docs)
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\W+"))
     t = docs.select(id_col, F.explode(toks).alias("tok")).filter(
         F.length("tok") > 0

@@ -238,3 +238,100 @@ def test_streaming_windowed_counts(spark, tmp_path):
     rows = spark.sql("select * from wincounts").collect()
     assert len(rows) == 1
     assert rows[0]["count"] == 5 and rows[0].host == "9.9.9.9"
+
+
+def _fake_journalctl(tmp_path, n_lines: int, sleep: float = 0.0) -> str:
+    """Write a fake `journalctl` executable emitting n_lines JSON records."""
+    import json as _json
+    import stat
+
+    rec = {
+        "__REALTIME_TIMESTAMP": "1719828000000000",
+        "MESSAGE": "Invalid user fake from 203.0.113.9 port 22",
+        "UNIT": "ssh.service",
+    }
+    script = tmp_path / "journalctl"
+    lines = "\n".join(
+        _json.dumps({**rec, "__REALTIME_TIMESTAMP": str(1719828000000000 + i)})
+        for i in range(n_lines)
+    )
+    body = "#!/bin/sh\n"
+    if sleep:
+        body += f"sleep {sleep}\n"
+    body += f"cat <<'JEOF'\n{lines}\nJEOF\n"
+    if sleep:  # -f style: keep running until killed
+        body += "sleep 60\n"
+    script.write_text(body)
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    return str(script)
+
+
+def test_journalctl_spool_feeds_existing_reader(spark, tmp_path):
+    """The subprocess adapter (parse_logs.rs:262-269): `journalctl -o json`
+    output spools into files and flows through read_journald_json +
+    parse_journald_lines unchanged."""
+    from security_log_analysis_rust_spark.pipeline.parse import parse_journald_lines
+    from security_log_analysis_rust_spark.sources.journalctl import (
+        journalctl_command,
+        spool_journalctl,
+    )
+    from security_log_analysis_rust_spark.sources.logfiles import read_journald_json
+
+    assert journalctl_command(units=["ssh"], since="yesterday", follow=True) == [
+        "journalctl", "-o", "json", "-u", "ssh", "--since", "yesterday", "-f"
+    ]
+
+    fake = _fake_journalctl(tmp_path, n_lines=25)
+    spool = tmp_path / "spool"
+    files = spool_journalctl(str(spool), binary=fake, lines_per_file=10)
+    assert len(files) == 3  # 10 + 10 + 5
+    assert not list(spool.glob("*.tmp"))  # all committed atomically
+
+    df = read_journald_json(spark, str(spool))
+    assert df.count() == 25
+    events, _sysd = parse_journald_lines(df)
+    assert events.count() == 25
+
+
+def test_journalctl_follow_rotates_into_stream_dir(spark, tmp_path):
+    """The -f variant (parse_logs.rs:306-326): a follower thread rotates
+    closed spool files that the streaming ingest then picks up."""
+    import time
+
+    from security_log_analysis_rust_spark.sources.journalctl import (
+        follow_journalctl,
+    )
+    from security_log_analysis_rust_spark.streaming.journald_stream import (
+        start_journald_ingest,
+    )
+
+    fake = _fake_journalctl(tmp_path, n_lines=30, sleep=0.1)
+    spool = tmp_path / "stream_spool"
+    fol = follow_journalctl(str(spool), binary=fake, rotate_lines=10)
+    deadline = time.time() + 30
+    while fol.files_written < 3 and time.time() < deadline:
+        time.sleep(0.2)
+    fol.stop()
+    assert fol.files_written >= 3
+
+    sink = tmp_path / "sink"
+    q = start_journald_ingest(spark, str(spool), str(sink), available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(sink / "intrusion_log"))
+    assert got.count() == 30
+
+
+def test_journalctl_real_binary_if_available(tmp_path):
+    """Integration against the real journalctl, skipped where absent."""
+    import shutil
+
+    import pytest as _pytest
+
+    if shutil.which("journalctl") is None:
+        _pytest.skip("journalctl not installed")
+    from security_log_analysis_rust_spark.sources.journalctl import spool_journalctl
+
+    files = spool_journalctl(
+        str(tmp_path / "real"), max_lines=50, lines_per_file=25
+    )
+    assert isinstance(files, list)
