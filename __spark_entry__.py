@@ -336,6 +336,21 @@ def q_docs_token_stats(spark, sf_dir):
     )
 
 
+#: BPE-ish pre-tokenization classes (the GPT-2 pre-tokenizer's letter-run /
+#: digit-run / punctuation-run split, reduced to a regex subset that Java
+#: regex (Spark) and RE2 (DuckDB) interpret identically)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_docs_token_bpe(spark, sf_dir):
+    """Token counting, BPE-ish: counts pre-tokenizer units rather than
+    whitespace words — the number an LLM-training cost estimate wants."""
+    toks = F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks).alias("n_bpe_tokens")
+    )
+
+
 #: winnowing parameters (Schleimer et al., SIGMOD'03): char k-grams, window w
 WINNOW_K = 8
 WINNOW_W = 4
@@ -687,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_quantiles": q_events_quantiles,
         "docs_token_stats": q_docs_token_stats,
+        "docs_token_bpe": q_docs_token_bpe,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_winnow": q_docs_winnow,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -1182,6 +1198,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": (
             r"SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) "
             "AS n_tokens, CAST(length(text) AS INT) AS n_chars FROM documents"
+        ),
+        "docs_token_bpe": (
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens "
+            "FROM documents"
         ),
         "docs_fingerprint": (
             r"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) "
