@@ -536,6 +536,20 @@ def q_docs_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_docs_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS over the minhash-LSH pair graph: every doc labeled
+    with the min doc_id of its duplicate component (pairs are transitive —
+    the keep-one-per-cluster step a real dedup pipeline needs after
+    candidate generation). Singletons label themselves."""
+    from security_log_analysis_rust_spark.textops.cluster import (
+        connected_components,
+    )
+
+    pairs = q_docs_minhash_lsh(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return connected_components(docs, pairs)
+
+
 def q_emb_top1(spark, sf_dir):
     """Brute-force cosine top-1 neighbor per vector (ANN baseline).
 
@@ -710,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "emb_top1": q_emb_top1,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_dups": q_docs_simhash_dups,
@@ -868,6 +883,35 @@ shing AS (
   FROM toksrc
 )
 """
+
+
+def _docs_minhash_sql() -> str:
+    return _DOC_SHINGLE_CTE + (
+        ", sig AS (SELECT doc_id, t.s, "
+        "min(substr(md5(sh), CAST(4 * t.s + 1 AS INT), 4)) AS mh "
+        "FROM shing, range(8) t(s) GROUP BY doc_id, t.s), "
+        "bands AS (SELECT doc_id, CAST(floor(s / 2) AS INT) AS band, "
+        "md5(string_agg(mh, '|' ORDER BY s)) AS bucket "
+        "FROM sig GROUP BY doc_id, CAST(floor(s / 2) AS INT)) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
+
+def _docs_dup_clusters_sql() -> str:
+    """Independent CC implementation: recursive min-label reachability over
+    the same minhash pair graph (walk carries every reachable id; min per
+    node = the component representative)."""
+    return (
+        "WITH RECURSIVE pairs AS (" + _docs_minhash_sql() + "), "
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs "
+        "UNION SELECT b_id AS src, a_id AS dst FROM pairs), "
+        "walk(node, r) AS (SELECT doc_id AS node, doc_id AS r FROM documents "
+        "UNION SELECT e.dst AS node, w.r FROM edges e "
+        "JOIN walk w ON e.src = w.node) "
+        "SELECT node AS doc_id, min(r) AS cluster_id FROM walk GROUP BY node"
+    )
 
 
 def _simhash_sig_cte() -> str:
@@ -1257,17 +1301,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON b_id = sb.doc_id "
             "WHERE inter * 2 >= sa.sz + sb.sz - inter"
         ),
-        "docs_minhash_lsh": _DOC_SHINGLE_CTE + (
-            ", sig AS (SELECT doc_id, t.s, "
-            "min(substr(md5(sh), CAST(4 * t.s + 1 AS INT), 4)) AS mh "
-            "FROM shing, range(8) t(s) GROUP BY doc_id, t.s), "
-            "bands AS (SELECT doc_id, CAST(floor(s / 2) AS INT) AS band, "
-            "md5(string_agg(mh, '|' ORDER BY s)) AS bucket "
-            "FROM sig GROUP BY doc_id, CAST(floor(s / 2) AS INT)) "
-            "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-            "FROM bands a JOIN bands b "
-            "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
-        ),
+        "docs_minhash_lsh": _docs_minhash_sql(),
+        "docs_dup_clusters": _docs_dup_clusters_sql(),
         "emb_top1": (
             "WITH v AS (SELECT vec_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "

@@ -1,0 +1,109 @@
+"""Duplicate-cluster resolution: near-dup PAIRS -> connected components.
+
+Every dedup stack in this package (exact, minhash, simhash, jaccard,
+embedding-LSH) emits candidate PAIRS; an actual training-data pipeline must
+then pick ONE representative per duplicate *cluster* (pairs are transitive:
+A~B, B~C means A,B,C are one group). This module closes that gap with
+min-label propagation over the pair graph:
+
+* every node starts labeled with its own id;
+* each round, a node takes the min of its label and its neighbors' labels
+  (one shuffle per round: edges join labels, groupBy dst);
+* fixpoint = every node carries the min id of its component — the cluster
+  representative (the same keep-min-id convention as ``docs_exact_dedup``).
+
+Convergence: label propagation needs O(diameter) rounds. Near-dup clusters
+are dense (near-cliques — members pairwise similar), so the diameter is
+1-2 and the loop exits after 2-3 rounds; ``max_iter`` bounds pathological
+chains, and the implementation raises if a fixpoint wasn't reached rather
+than returning a half-converged answer. (For adversarial long-path graphs
+at scale, the alternating large-star/small-star algorithm of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (SoCC'14), converges
+in O(log^2 n) rounds with the same per-round shuffle shape — the loop body
+here is deliberately the same join+min-agg primitive so that upgrade is
+local.)
+
+Each round ``localCheckpoint``\ s its label frame: persistence alone is NOT
+enough for an iterative DataFrame loop — the logical plan still nests one
+level per round and the planner itself blows up after ~15 rounds (observed:
+OOM inside plan-tree stringification). Checkpointing truncates lineage to
+the materialized result, keeping every round's plan flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """-> (id_col, cluster_id): min node id of each connected component.
+
+    ``nodes``: one row per entity (singletons keep their own id as
+    cluster_id). ``pairs``: undirected edges.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    converged = False
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological chain graph? raise max_iter or switch to "
+            "large-star/small-star)"
+        )
+    out = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    return out
+
+
+def cluster_representatives(components: DataFrame) -> DataFrame:
+    """-> (cluster_id, representative, size): the keep-one side of dedup."""
+    return components.groupBy("cluster_id").agg(
+        F.min(components.columns[0]).alias("representative"),
+        F.count(F.lit(1)).alias("size"),
+    )

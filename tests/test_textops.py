@@ -436,3 +436,46 @@ def test_lsh_auto_sizing_differs_from_pinned_at_test_scale():
 
     assert auto_n_bits(500, E.ANN_AUTO_TARGET) == 5
     assert E.ANN_BITS == 4
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Transitive pairs collapse to one cluster (A~B, B~C -> {A,B,C});
+    singletons keep their own id; representatives are min ids."""
+    from security_log_analysis_rust_spark.textops.cluster import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "a_id long, b_id long"
+    )
+    cc = connected_components(nodes, pairs)
+    got = {r.doc_id: r.cluster_id for r in cc.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+    reps = {
+        r.cluster_id: (r.representative, r.size)
+        for r in cluster_representatives(cc).collect()
+    }
+    assert reps == {0: (0, 1), 1: (1, 4), 5: (5, 1), 6: (6, 2)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph longer than max_iter rounds must raise, never return a
+    half-converged labeling."""
+    import pytest as _pytest
+
+    from security_log_analysis_rust_spark.textops.cluster import (
+        connected_components,
+    )
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, path, max_iter=2)
+    # and with enough rounds the same chain resolves to one cluster
+    cc = connected_components(nodes, path, max_iter=15)
+    assert {r.cluster_id for r in cc.collect()} == {0}
