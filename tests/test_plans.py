@@ -141,3 +141,24 @@ def test_lsh_topk_broadcasts_only_the_plane_dim(spark):
     # kernel (pre-reduce) feeds the global rank window: the tree prints
     # root-first, so the upstream kernel node appears below the Window
     assert plan.find("Window") < plan.find("FlatMapGroupsInPandas"), plan
+
+
+def test_winnow_keys_materialized_behind_barrier(spark):
+    """The winnow keys array (all the k-gram md5s) must be computed in a
+    DIFFERENT plan node from the window-min lambda: if CollapseProject ever
+    inlines it into the mins transform, Catalyst re-evaluates the whole
+    array per window — O(n_grams x n_windows) hashing (the r2 bug)."""
+    from conftest import TESTDATA_SF_ORACLE
+    from security_log_analysis_rust_spark.textops.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA_SF_ORACLE}/documents.parquet")
+    plan = _plan(winnow_fingerprints(docs))
+    # the hashing expression and the window-min expression never share a line
+    bad = [
+        l for l in plan.splitlines() if "array_min" in l and "md5" in l
+    ]
+    assert not bad, bad[:2]
+    # two generators: the materialization barrier and the fps explode
+    assert plan.count("Generate") >= 2, plan[:1500]
