@@ -674,6 +674,19 @@ def q_emb_near_dups(spark, sf_dir):
     )
 
 
+def q_emb_near_dups_auto(spark, sf_dir):
+    """The dedup flavor at the configuration you'd run at scale: bit count
+    derived from the corpus (same plane bank + target as emb_topk_lsh_auto,
+    oracle derives the identical count)."""
+    from security_log_analysis_rust_spark.textops.ann import lsh_near_dups
+
+    return lsh_near_dups(
+        _emb(spark, sf_dir), threshold=NEAR_DUP_SIM, n_bits=None,
+        n_tables=ANN_TABLES, target_bucket=ANN_AUTO_TARGET,
+        bank_bits=ANN_MAX_BITS,
+    )
+
+
 def q_emb_topk_ivf(spark, sf_dir):
     from security_log_analysis_rust_spark.textops.ann import ivf_topk
 
@@ -733,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_lsh_auto": q_emb_topk_lsh_auto,
         "emb_topk_ivf": q_emb_topk_ivf,
         "emb_near_dups": q_emb_near_dups,
+        "emb_near_dups_auto": q_emb_near_dups_auto,
     }
 
 
@@ -1078,8 +1092,8 @@ def _emb_topk_lsh_sql(auto_target: int | None = None) -> str:
     )
 
 
-def _emb_near_dups_sql() -> str:
-    return _lsh_bucket_cte() + (
+def _emb_near_dups_sql(auto_target: int | None = None) -> str:
+    return _lsh_bucket_cte(auto_target) + (
         ", cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
         "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
         "AND a.vec_id < b.vec_id) "
@@ -1323,4 +1337,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_lsh_auto": _emb_topk_lsh_sql(auto_target=ANN_AUTO_TARGET),
         "emb_topk_ivf": _emb_topk_ivf_sql(),
         "emb_near_dups": _emb_near_dups_sql(),
+        "emb_near_dups_auto": _emb_near_dups_sql(auto_target=ANN_AUTO_TARGET),
     }

@@ -263,21 +263,26 @@ def lsh_topk(
 def lsh_near_dups(
     emb: DataFrame,
     threshold: float = 0.35,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     n_tables: int = 8,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 4096,
+    bank_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates, exact
     cosine >= ``threshold``. The dedup flavor of the ANN stack — candidates
     come from within-bucket combinations (no self-join, no corpus broadcast),
     so the work is bucket-bounded rather than all-pairs. Recall contract:
     only pairs colliding in >= 1 of the ``n_tables`` tables are examined
-    (same OR-amplification math as lsh_topk)."""
+    (same OR-amplification math as lsh_topk). ``n_bits=None`` auto-sizes
+    from the corpus like :func:`lsh_topk` (same plane-bank mechanics)."""
+    if n_bits is None:
+        n_bits = auto_n_bits(emb.count(), target_bucket)
     buckets = with_lsh_buckets(
         emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, bank_bits=bank_bits,
     ).withColumnRenamed(id_col, "vec_id")
     pairs_expr = F.flatten(
         F.transform(
