@@ -11,11 +11,13 @@ Maps the reference's per-source parsers onto one line-routed DataFrame DAG
 3. anything else is an apache-CLF candidate
    -> ``parse_log_line_apache`` semantics (``src/parse_logs.rs:208-232``)
 
-Guards, tokenization, and timestamp parsing are built-in column expressions
-(whole-stage codegen); only the byte-exact 'Invalid user' extraction runs as
-an Arrow pandas UDF. Everything uses ``try_*`` variants so the stage is safe
-under ANSI mode (Spark 4 default) — unparseable rows drop instead of failing
-a 100 TB job.
+Guards, tokenization, timestamp parsing AND (since round 3) the byte-exact
+'Invalid user' extraction are all built-in column expressions — the whole
+parse stage runs inside whole-stage codegen with zero Python workers
+(``parsing/exprs.py``; the Arrow pandas kernel in ``parsing/udfs.py``
+remains as a differential-tested second implementation). Everything uses
+``try_*`` variants so the stage is safe under ANSI mode (Spark 4 default) —
+unparseable rows drop instead of failing a 100 TB job.
 
 Scale notes: every transform here is narrow (filter/project over the line
 explode), so this stage never shuffles; it scales linearly with input splits
@@ -32,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..parsing.core import DEFAULT_SYSTEMD_LOG_FILTERS, SERVERS
-from ..parsing.udfs import invalid_user_udf
+from ..parsing.exprs import invalid_user_expr
 from ..schemas import JOURNALD_SCHEMA
 
 #: strict dotted-quad (matches Rust ``Ipv4Addr`` parse: 0-255, no leading 0s)
@@ -103,7 +105,7 @@ def parse_ssh_lines(lines: DataFrame) -> DataFrame:
                 F.lit("MMM d yyyy HH:mm:ss"),
             ),
         )
-        .withColumn("ex", invalid_user_udf(line))
+        .withColumn("ex", invalid_user_expr(line))
     )
     return df.filter(
         F.col("datetime").isNotNull() & F.col("ex.host").isNotNull()
@@ -179,7 +181,7 @@ def parse_journald_lines(
     is_invalid_user = line.contains("Invalid user ")
     ssh = (
         j.filter(is_invalid_user)
-        .withColumn("ex", invalid_user_udf(F.col("rec.MESSAGE")))
+        .withColumn("ex", invalid_user_expr(F.col("rec.MESSAGE")))
         .filter(F.col("ex.host").isNotNull())
         .select(
             "url",
@@ -306,10 +308,12 @@ def extract_events(
         .when(line.contains("debug") | line.contains("DEBUG"), "debug")
     )
 
-    # Stage 1: UDF-independent routing (kind0) — cheap JVM predicates only,
-    # so the row-dropping filter never references the Python UDF (Catalyst
-    # duplicates a UDF referenced across a Filter boundary into two
-    # ArrowEvalPython passes).
+    # Stage 1: extraction-independent routing (kind0) — cheap JVM
+    # predicates only. (Historical note: the extraction was an Arrow pandas
+    # UDF through round 2, and Catalyst duplicates a UDF referenced across a
+    # Filter boundary into two ArrowEvalPython passes; the staging + barrier
+    # below predate the pure-expression extraction and remain because they
+    # also keep the expression from being re-evaluated per filter.)
     parsed0 = (
         pages_to_lines(pages)
         .withColumn("j_valid", j_valid)
@@ -336,14 +340,15 @@ def extract_events(
         .filter(F.col("kind").isNotNull())
     )
 
-    # Stage 2: ONE Arrow UDF pass serves both ssh paths; rows whose
-    # extraction fails (no ' from ' / dot-less host) are dropped via an
-    # explode-barrier instead of a filter, keeping the plan at a single
-    # ArrowEvalPython node.
+    # Stage 2: ONE extraction expression serves both ssh paths (pure JVM
+    # since round 3 — parsing/exprs.py — so the whole parse stage runs in
+    # whole-stage codegen with zero Python workers); rows whose extraction
+    # fails (no ' from ' / dot-less host) are dropped via an explode-barrier
+    # instead of a filter so the struct is computed once.
     is_ssh_kind = F.col("kind").isin("ssh", "jssh")
     parsed = parsed0.withColumn(
         "ex",
-        invalid_user_udf(
+        invalid_user_expr(
             F.when(F.col("kind") == "jssh", F.col("msg")).when(
                 F.col("kind") == "ssh", line
             )

@@ -278,3 +278,49 @@ def test_hypothesis_udf_kernel_matches_core_oracle():
             ), (s, got.iloc[i].tolist(), (exp_host, exp_user))
 
     check()
+
+
+def test_jvm_expr_matches_pandas_kernel_and_core(spark):
+    """Three-way differential: the pure-JVM expression (parsing/exprs.py,
+    the round-3 hot path), the Arrow pandas kernel, and the pure-Python core
+    oracle agree on parse_log_message over every edge shape."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from security_log_analysis_rust_spark.parsing.core import parse_log_message
+    from security_log_analysis_rust_spark.parsing.exprs import invalid_user_expr
+    from security_log_analysis_rust_spark.parsing.udfs import extract_invalid_user
+
+    cases = [
+        "Invalid user admin from 1.2.3.4 port 22",
+        "Invalid user  from 1.2.3.4 port 22",                  # empty user
+        "Invalid user a b c from 9.9.9.9 port 1",              # spaces in user
+        "Invalid user x from hostnodot port 2",                # dot-less host
+        "Invalid user x from 1.2.3.4port5",                    # port glued
+        "Invalid user x from 1.2.3.4",                         # no port
+        "no marker at all",
+        "Invalid user trailing",                               # no ' from '
+        "Invalid user a Invalid user b from 1.1.1.1 port 3",   # marker twice
+        "Invalid user " + "u" * 40 + " from " + "1." * 40 + "2 port 9",  # truncation
+        "Invalid user x from  1.2.3.4  port 22",               # extra spaces
+        "",
+    ]
+    # core oracle
+    def core(s):
+        try:
+            r = parse_log_message(s)
+        except ValueError:  # reference Err path -> pipeline drop
+            return (None, None)
+        return r if r is not None else (None, None)
+
+    expected = [core(s) for s in cases]
+    # pandas kernel
+    pdf = extract_invalid_user(pd.Series(cases))
+    got_pandas = list(zip(pdf["host"], pdf["username"]))
+    assert got_pandas == expected
+    # JVM expression
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, msg string")
+    rows = df.select("i", invalid_user_expr(F.col("msg")).alias("ex")).orderBy("i").collect()
+    got_jvm = [(r.ex.host, r.ex.username) for r in rows]
+    assert got_jvm == expected
