@@ -73,8 +73,9 @@ def run_headline(spark, sf_dir: str) -> dict:
     ).collect()[0][0]
 
     # infra warmup (same spirit as the scan warm above): spin up the Arrow
-    # python workers and shuffle machinery on ONE row so q1 measures the
-    # query, not daemon fork + JIT; plans below still run cold
+    # python workers (used by q9's applyInPandas kernel; the parse path is
+    # pure JVM since round 3) and shuffle machinery on ONE row so the timed
+    # queries measure the query, not daemon fork + JIT; plans still run cold
     from security_log_analysis_rust_spark.parsing.udfs import invalid_user_udf
 
     spark.range(1).select(
