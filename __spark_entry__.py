@@ -550,6 +550,14 @@ def q_docs_dup_clusters(spark, sf_dir):
     return connected_components(docs, pairs)
 
 
+def q_docs_dedup_kept(spark, sf_dir):
+    """The deduplicated corpus: doc ids that survive keep-min-per-cluster
+    over the minhash near-dup components — corpus in, cleaned corpus out,
+    the end product of the dedup stack."""
+    cc = q_docs_dup_clusters(spark, sf_dir)
+    return cc.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+
+
 def q_emb_top1(spark, sf_dir):
     """Brute-force cosine top-1 neighbor per vector (ANN baseline).
 
@@ -738,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dedup_kept": q_docs_dedup_kept,
         "emb_top1": q_emb_top1,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_dups": q_docs_simhash_dups,
@@ -1317,6 +1326,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_minhash_lsh": _docs_minhash_sql(),
         "docs_dup_clusters": _docs_dup_clusters_sql(),
+        "docs_dedup_kept": (
+            "SELECT doc_id FROM (" + _docs_dup_clusters_sql() + ") t "
+            "WHERE cluster_id = doc_id"
+        ),
         "emb_top1": (
             "WITH v AS (SELECT vec_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
