@@ -703,6 +703,17 @@ def q_emb_topk_ivf(spark, sf_dir):
     )
 
 
+def q_emb_topk_ivf_auto(spark, sf_dir):
+    """IVF at the configuration you'd run at scale: list count ~sqrt(N)
+    (textops.ann.auto_n_centroids — resolves to 32 at 500 vectors vs the
+    pinned 16); the oracle derives the identical count from the corpus."""
+    from security_log_analysis_rust_spark.textops.ann import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), k=ANN_K, n_centroids=None, n_probe=IVF_PROBE
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -754,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_lsh": q_emb_topk_lsh,
         "emb_topk_lsh_auto": q_emb_topk_lsh_auto,
         "emb_topk_ivf": q_emb_topk_ivf,
+        "emb_topk_ivf_auto": q_emb_topk_ivf_auto,
         "emb_near_dups": q_emb_near_dups,
         "emb_near_dups_auto": q_emb_near_dups_auto,
     }
@@ -1112,16 +1124,30 @@ def _emb_near_dups_sql(auto_target: int | None = None) -> str:
     )
 
 
-def _emb_topk_ivf_sql() -> str:
+def _emb_topk_ivf_sql(auto: bool = False) -> str:
     """IVF oracle: same md5-sampled centroids, rounded centroid ranking,
-    n_probe lists, exact cosine within probed lists."""
+    n_probe lists, exact cosine within probed lists. ``auto`` mirrors
+    textops.ann.auto_n_centroids — the list count is derived from the
+    corpus size inside SQL."""
     seed = 7
-    return _EMB_V_CTE + (
-        ", cent AS (SELECT vec_id AS cvid, e AS cv, "
-        f"CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), "
-        f"vec_id) - 1 AS INT) AS cid FROM v "
-        f"ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id "
-        f"LIMIT {IVF_CENTROIDS}), "
+    if auto:
+        cent = (
+            ", nc AS (SELECT greatest(16, CAST(pow(2, ceil(log2(ceil(sqrt("
+            "greatest(count(*), 1)))))) AS INT)) AS n FROM embeddings), "
+            "cent AS (SELECT cvid, cv, CAST(rn - 1 AS INT) AS cid FROM ("
+            "SELECT vec_id AS cvid, e AS cv, row_number() OVER (ORDER BY "
+            f"md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) AS rn FROM v) t "
+            "WHERE rn <= (SELECT n FROM nc)), "
+        )
+    else:
+        cent = (
+            ", cent AS (SELECT vec_id AS cvid, e AS cv, "
+            f"CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), "
+            f"vec_id) - 1 AS INT) AS cid FROM v "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id "
+            f"LIMIT {IVF_CENTROIDS}), "
+        )
+    return _EMB_V_CTE + cent + (
         "scored AS (SELECT v.vec_id, cent.cid, "
         "round(list_sum(list_transform(list_zip(v.e, cent.cv), z -> z[1] * z[2])) / "
         "(sqrt(list_sum(list_transform(v.e, x -> x * x))) * "
@@ -1349,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_lsh": _emb_topk_lsh_sql(),
         "emb_topk_lsh_auto": _emb_topk_lsh_sql(auto_target=ANN_AUTO_TARGET),
         "emb_topk_ivf": _emb_topk_ivf_sql(),
+        "emb_topk_ivf_auto": _emb_topk_ivf_sql(auto=True),
         "emb_near_dups": _emb_near_dups_sql(),
         "emb_near_dups_auto": _emb_near_dups_sql(auto_target=ANN_AUTO_TARGET),
     }

@@ -315,10 +315,21 @@ def lsh_near_dups(
     )
 
 
+def auto_n_centroids(n_vectors: int) -> int:
+    """IVF list count ~sqrt(N) (the standard rule: ~sqrt(N) lists x
+    ~sqrt(N) members balances probe cost against per-list scan), rounded up
+    to a power of two and floored at 16. Expressed identically in SQL
+    (greatest/pow/ceil/log2/sqrt) so an oracle can derive the same count
+    from the same corpus."""
+    import math
+
+    return max(16, 1 << math.ceil(math.log2(math.ceil(math.sqrt(max(n_vectors, 1))))))
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -342,6 +353,8 @@ def ivf_topk(
       collect of the table.
     """
     spark = emb.sparkSession
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     cent_rows = (
         base.withColumn(
