@@ -361,17 +361,52 @@ class SecurityLogApp:
         }
 
     def delete_log_message(self, msg_id: str) -> int:
-        """SystemdLogMessages::delete analog: rewrite the sink without the
-        row (at scale this is a table-format DELETE / MERGE)."""
-        path = self._systemd_path()
-        df = self._systemd().persist()
-        keep = df.filter(F.col("id") != msg_id)
-        n = df.count() - keep.count()
-        tmp = path + ".tmp"
-        keep.write.mode("overwrite").parquet(tmp)
-        df.unpersist()
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        """SystemdLogMessages::delete analog (security_log_http.rs:567-586),
+        file-scoped copy-on-write: locate the part-file(s) containing the
+        row via ``input_file_name``, rewrite ONLY those files, and swap each
+        replacement in with an atomic per-file ``os.replace``. Every other
+        part-file of the sink is untouched — the plain-parquet analog of a
+        table-format row DELETE, and the only plan that survives a 100 TB
+        sink (one row deleted = one file rewritten, not one sink)."""
+        import glob
+
+        df = self._systemd()
+        hit_files = [
+            r["__f"]
+            for r in df.filter(F.col("id") == msg_id)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        ]
+        n = 0
+        for uri in hit_files:
+            fpath = re.sub(r"^file:(//)?", "", uri)
+            one = self.spark.read.parquet(fpath)
+            keep = one.filter(F.col("id") != msg_id).persist()
+            kept = keep.count()
+            n += one.count() - kept
+            if kept == 0:
+                keep.unpersist()
+                os.remove(fpath)
+                continue
+            # dot prefix: invisible to Spark's listing while being written
+            tmp = os.path.join(
+                os.path.dirname(fpath), "." + os.path.basename(fpath) + ".cow"
+            )
+            keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+            keep.unpersist()
+            parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.replace(parts[0], fpath)
+            # drop Hadoop's checksum sidecar: it still matches the OLD bytes
+            crc = os.path.join(
+                os.path.dirname(fpath), "." + os.path.basename(fpath) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+            shutil.rmtree(tmp)
+        if hit_files:
+            # drop the cached FileStatus (old length) of the replaced files
+            self.spark.catalog.refreshByPath(self._systemd_path())
         return n
 
     def cleanup(self) -> list:

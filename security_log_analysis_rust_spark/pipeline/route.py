@@ -111,6 +111,72 @@ def sink_month_filter(df: DataFrame, since: str) -> DataFrame:
     return df.filter(F.col("datetime") >= F.lit(since))
 
 
+def _swap_dir(live: str, tmp: str) -> None:
+    """Replace directory ``live`` with ``tmp`` via rename-aside.
+
+    Order matters for crash safety: the live copy is renamed aside (never
+    deleted while it is the only copy), the new dir moved in, and only then
+    is the old copy removed. Every intermediate state is recoverable by
+    :func:`recover_sink` — a crash can leave a leftover, never data loss.
+    The aside name is ``_old.<name>`` (underscore prefix = invisible to
+    Spark's file listing, so a concurrent partitioned read never sees it).
+    """
+    import shutil
+
+    parent, name = os.path.split(os.path.normpath(live))
+    aside = os.path.join(parent, "_old." + name)
+    if os.path.exists(aside):  # leftover from a crashed *completed* swap
+        shutil.rmtree(aside)
+    os.rename(live, aside)
+    os.rename(tmp, live)
+    shutil.rmtree(aside)
+
+
+def recover_sink(sink_path: str) -> None:
+    """Repair leftovers of a crashed :func:`_swap_dir` / migration.
+
+    Invariants restored: if the live dir (sink root or a month partition)
+    is missing but its ``_old.`` aside exists, the aside IS the pre-swap
+    data — rename it back. If both exist, the swap completed — drop the
+    aside. A ``.tmp`` with no live sink and no aside means a legacy
+    (pre-rename-aside) crash stranded the whole history in the tmp: fail
+    loudly instead of silently starting a fresh sink.
+    """
+    import glob as _glob
+    import shutil
+
+    parent, name = os.path.split(os.path.normpath(sink_path))
+    aside = os.path.join(parent, "_old." + name)
+    tmp = sink_path + ".tmp"
+    if os.path.exists(aside):
+        if os.path.exists(sink_path):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, sink_path)
+    if os.path.exists(tmp):
+        if os.path.exists(sink_path):
+            shutil.rmtree(tmp)  # unswapped rewrite; source state intact
+        else:
+            raise RuntimeError(
+                f"sink {sink_path} is missing but {tmp} exists: a legacy "
+                "migration crashed mid-swap. Inspect and rename the .tmp "
+                "back manually; refusing to start a fresh sink."
+            )
+    if os.path.isdir(sink_path):
+        for md_aside in _glob.glob(
+            os.path.join(sink_path, f"_old.{MONTH_COL}=*")
+        ):
+            live = os.path.join(
+                sink_path, os.path.basename(md_aside)[len("_old.") :]
+            )
+            if os.path.exists(live):
+                shutil.rmtree(md_aside)
+            else:
+                os.rename(md_aside, live)
+        for md_tmp in _glob.glob(os.path.join(sink_path, f".tmp.{MONTH_COL}=*")):
+            shutil.rmtree(md_tmp)  # month rewrites stage next to the live dir
+
+
 def _migrate_unpartitioned_sink(spark: SparkSession, sink_path: str) -> bool:
     """One-time atomic rewrite of a legacy flat sink into the
     month-partitioned layout.
@@ -118,11 +184,11 @@ def _migrate_unpartitioned_sink(spark: SparkSession, sink_path: str) -> bool:
     Appending ``partitionBy(dt_month)`` files next to flat part-files would
     succeed and then brick every subsequent read ('Conflicting directory
     structures detected'), so the legacy layout is detected (data files at
-    the sink root) and rewritten — the same tmp-dir + os.replace pattern as
-    :func:`cleanup_intrusion_log`. Returns True if a migration happened.
+    the sink root) and rewritten via the rename-aside swap (a crash leaves
+    either the legacy layout or the new one — never a missing sink).
+    Returns True if a migration happened.
     """
     import glob as _glob
-    import shutil
 
     root_files = [
         p
@@ -139,8 +205,7 @@ def _migrate_unpartitioned_sink(spark: SparkSession, sink_path: str) -> bool:
         flat = flat.unionByName(part.select(*flat.columns))
     tmp = sink_path + ".tmp"
     flat.write.mode("overwrite").partitionBy(MONTH_COL).parquet(tmp)
-    shutil.rmtree(sink_path)
-    os.replace(tmp, sink_path)
+    _swap_dir(sink_path, tmp)
     return True
 
 
@@ -161,6 +226,7 @@ def append_dedup(
     per split. Correctness: every new row has ``datetime >= since``, so any
     conflicting sink row lies in the pruned range by construction.
     """
+    recover_sink(sink_path)
     if os.path.exists(sink_path):
         _migrate_unpartitioned_sink(spark, sink_path)
         existing = spark.read.parquet(sink_path)
@@ -183,28 +249,50 @@ def cleanup_intrusion_log(spark: SparkSession, sink_path: str) -> int:
     """``cleanup_intrusion_log`` analog (``src/host_country_metadata.rs:
     179-214``): delete duplicate sink rows on the unique key, keeping the
     max-id row (the reference deletes ``a.id < b.id``). Returns the number
-    of removed rows. Implemented as a dedup + atomic rewrite — the plain-
-    parquet stand-in for a table-format DELETE."""
-    import shutil
+    of removed rows.
 
-    df = spark.read.parquet(sink_path).persist()
-    before = df.count()
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    deduped = (
+    Partition-scoped: ``datetime`` is part of the unique key and
+    :data:`MONTH_COL` = month(datetime), so duplicate rows always share a
+    month partition. The dup scan reads only key columns (column-pruned),
+    and ONLY the month directories that actually contain duplicates are
+    rewritten (rename-aside swap per directory); every other month keeps
+    its original part-files untouched. This is the plain-parquet analog of
+    a table-format partition-level rewrite — a 100 TB sink with a few dirty
+    months rewrites a few months, not 100 TB.
+    """
+    recover_sink(sink_path)
+    df = spark.read.parquet(sink_path)
+    if MONTH_COL not in df.columns:  # legacy flat sink: migrate, then scope
+        if _migrate_unpartitioned_sink(spark, sink_path):
+            df = spark.read.parquet(sink_path)
+
+    dup_months = (
         df.groupBy(*UNIQUE_KEY)
-        .agg(F.max_by(payload, F.col("id")).alias("__row"))
-        .select("__row.*")
+        .agg(F.count(F.lit(1)).alias("__n"), F.first(MONTH_COL).alias("__m"))
+        .filter(F.col("__n") > 1)
+        .groupBy("__m")
+        .agg(F.sum(F.col("__n") - 1).alias("__extra"))
+        .collect()
     )
-    tmp = sink_path + ".tmp"
-    writer = deduped.write.mode("overwrite")
-    if MONTH_COL in df.columns:
-        writer = writer.partitionBy(MONTH_COL)
-    writer.parquet(tmp)
-    df.unpersist()
-    after = spark.read.parquet(tmp).count()
-    shutil.rmtree(sink_path)
-    os.replace(tmp, sink_path)
-    return before - after
+    if not dup_months:
+        return 0
+    removed = 0
+    payload = F.struct(*[F.col(c) for c in df.columns if c != MONTH_COL])
+    for r in dup_months:
+        month, extra = r["__m"], int(r["__extra"])
+        live = os.path.join(sink_path, f"{MONTH_COL}={month}")
+        part = df.filter(F.col(MONTH_COL) == month)  # partition-pruned scan
+        deduped = (
+            part.groupBy(*UNIQUE_KEY)
+            .agg(F.max_by(payload, F.col("id")).alias("__row"))
+            .select("__row.*")
+        )
+        tmp = os.path.join(sink_path, f".tmp.{MONTH_COL}={month}")
+        deduped.write.mode("overwrite").parquet(tmp)
+        _swap_dir(live, tmp)
+        removed += extra
+    spark.catalog.refreshByPath(sink_path)  # drop stale FileStatus entries
+    return removed
 
 
 def write_sinks_single_pass(routed: DataFrame, out_dir: str) -> None:

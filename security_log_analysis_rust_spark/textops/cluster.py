@@ -14,20 +14,19 @@ min-label propagation over the pair graph:
 
 Convergence: label propagation needs O(diameter) rounds. Near-dup clusters
 are dense (near-cliques — members pairwise similar), so the diameter is
-1-2 and the loop exits after 2-3 rounds; ``max_iter`` bounds pathological
-chains, and the implementation raises if a fixpoint wasn't reached rather
-than returning a half-converged answer. (For adversarial long-path graphs
-at scale, the alternating large-star/small-star algorithm of Kiveris et
-al., "Connected Components in MapReduce and Beyond" (SoCC'14), converges
-in O(log^2 n) rounds with the same per-round shuffle shape — the loop body
-here is deliberately the same join+min-agg primitive so that upgrade is
-local.)
+1-2 and the loop exits after 2-3 rounds. When ``max_iter`` rounds don't
+reach a fixpoint (adversarial long-path graphs), the implementation
+switches to the alternating large-star/small-star contraction of Kiveris
+et al., "Connected Components in MapReduce and Beyond" (SoCC'14), which
+converges in O(log^2 n) rounds using the same join+min-agg per-round
+primitive — so high-diameter graphs resolve instead of erroring, and the
+common dense case still pays only the cheap 2-3 propagation rounds.
 
-Each round ``localCheckpoint``\ s its label frame: persistence alone is NOT
-enough for an iterative DataFrame loop — the logical plan still nests one
-level per round and the planner itself blows up after ~15 rounds (observed:
-OOM inside plan-tree stringification). Checkpointing truncates lineage to
-the materialized result, keeping every round's plan flat.
+Each round its label frame is ``localCheckpoint``-ed: persistence alone is
+NOT enough for an iterative DataFrame loop — the logical plan still nests
+one level per round and the planner itself blows up after ~15 rounds
+(observed: OOM inside plan-tree stringification). Checkpointing truncates
+lineage to the materialized result, keeping every round's plan flat.
 """
 
 from __future__ import annotations
