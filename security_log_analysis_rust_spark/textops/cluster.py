@@ -35,6 +35,73 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_contraction(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Kiveris et al. SoCC'14 alternating large-star/small-star contraction.
+
+    Input: symmetric distinct edge set ``(src, dst)``. Output: a forest of
+    stars as directed edges ``(u, v)`` with ``u > v`` where every non-root
+    node points at its component's minimum id. O(log^2 n) rounds; each
+    round is two groupBy-min + join passes — the same shuffle primitive as
+    the propagation loop, so the cost model is identical per round.
+
+    * large-star (on the symmetric view): every node u computes
+      m = min(neighbors + self) and re-points each STRICTLY LARGER
+      neighbor v at m — halves long tails without breaking connectivity;
+    * small-star (on the larger->smaller orientation): u re-points all its
+      (smaller) neighbors and itself at its minimum neighbor.
+    """
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.greatest("v", "m").alias("u"), F.least("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            small.count() == cur.count()
+            and small.exceptAll(cur).limit(1).count() == 0
+        )
+        cur = small
+        if stable:
+            return cur
+    raise RuntimeError(
+        f"star contraction did not converge in {max_rounds} rounds "
+        "(theoretical bound is O(log^2 n) — this indicates a bug, not data)"
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -87,13 +154,20 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(pathological chain graph? raise max_iter or switch to "
-            "large-star/small-star)"
+        # High-diameter graph: propagation would need O(diameter) rounds.
+        # Switch to star contraction (O(log^2 n)) on the original edges.
+        stars = _star_contraction(edges)
+        roots = stars.groupBy("u").agg(F.min("v").alias("slabel"))
+        labels = (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(roots.withColumnRenamed("u", "node"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("slabel"), F.col("node")).alias("label"),
+            )
         )
+    edges.unpersist()
     out = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

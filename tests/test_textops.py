@@ -460,22 +460,49 @@ def test_connected_components_chains_and_singletons(spark):
     assert reps == {0: (0, 1), 1: (1, 4), 5: (5, 1), 6: (6, 2)}
 
 
-def test_connected_components_nonconvergence_raises(spark):
-    """A path graph longer than max_iter rounds must raise, never return a
-    half-converged labeling."""
-    import pytest as _pytest
-
+def test_connected_components_high_diameter_star_fallback(spark):
+    """A path graph much longer than max_iter propagation rounds converges
+    via the large-star/small-star fallback (Kiveris SoCC'14) instead of
+    raising — diameter 10^3 resolves in O(log^2 n) contraction rounds."""
     from security_log_analysis_rust_spark.textops.cluster import (
         connected_components,
     )
 
-    n = 12
-    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    n = 1000
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n + 3)], "doc_id long"
+    )  # +3 singletons past the path
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, path, max_iter=2)
-    # and with enough rounds the same chain resolves to one cluster
-    cc = connected_components(nodes, path, max_iter=15)
-    assert {r.cluster_id for r in cc.collect()} == {0}
+    cc = connected_components(nodes, path, max_iter=3)
+    got = {r.doc_id: r.cluster_id for r in cc.collect()}
+    assert all(got[i] == 0 for i in range(n)), "path must collapse to min id"
+    assert all(got[i] == i for i in range(n, n + 3)), "singletons keep own id"
+
+
+def test_star_contraction_matches_propagation_on_dense_graph(spark):
+    """Differential check: the fallback and the propagation loop agree on a
+    graph where both converge (two cliques + a bridge + singletons)."""
+    from security_log_analysis_rust_spark.textops.cluster import (
+        connected_components,
+    )
+
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(4, 10)]  # bridge: one component {0..4, 10..13}
+        + [(20, 21)]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    via_prop = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, max_iter=15).collect()
+    }
+    via_stars = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, max_iter=0).collect()
+    }
+    assert via_prop == via_stars
+    assert via_prop[13] == 0 and via_prop[21] == 20
