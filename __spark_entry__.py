@@ -162,6 +162,33 @@ def q_journald_events(spark, sf_dir):
     return intr.select(*_EVENT_PROJ)
 
 
+def q_journald_running_totals(spark, sf_dir):
+    """Batch twin of the stateful streaming operator
+    ``streaming.journald_stream.stateful_attempt_totals``: lifetime per-host
+    running attempt totals, emitted per event. The stream folds counts into
+    the state store per micro-batch; the batch expression of the same
+    semantics is a cumulative count window. RANGE framing (not ROWS) makes
+    ties on datetime deterministic — all peers share the same total — so
+    the result is oracle-comparable. A pytest differential additionally
+    pins stream-final == max(running_total) per host on a shared input."""
+    from pyspark.sql import Window
+
+    from security_log_analysis_rust_spark.pipeline.parse import (
+        pages_to_lines,
+        parse_journald_lines,
+    )
+
+    intr, _ = parse_journald_lines(pages_to_lines(_pages(spark, sf_dir)))
+    w = (
+        Window.partitionBy("host")
+        .orderBy("datetime")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return intr.select(
+        "host", "datetime", F.count(F.lit(1)).over(w).alias("running_total")
+    )
+
+
 def q_systemd_messages(spark, sf_dir):
     return _systemd(spark, sf_dir).select(
         "url", "log_level", "log_unit", "log_message", "log_timestamp"
@@ -728,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssh_events": q_ssh_events,
         "apache_events": q_apache_events,
         "journald_events": q_journald_events,
+        "journald_running_totals": q_journald_running_totals,
         "systemd_messages": q_systemd_messages,
         "intrusion_log": q_intrusion_log,
         "enriched_export": q_enriched_export,
@@ -1197,6 +1225,14 @@ def oracle_sql() -> dict[str, str]:
         "journald_events": P(
             "SELECT url, service, server, datetime, host, username FROM jssh_ev "
             "UNION ALL SELECT url, service, server, datetime, host, username FROM jng_ev"
+        ),
+        "journald_running_totals": P(
+            "SELECT host, datetime, COUNT(*) OVER ("
+            "PARTITION BY host ORDER BY datetime "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ") AS running_total FROM ("
+            "SELECT host, datetime FROM jssh_ev "
+            "UNION ALL SELECT host, datetime FROM jng_ev)"
         ),
         "systemd_messages": P(
             "SELECT url, log_level, log_unit, log_message, log_timestamp FROM sysd"

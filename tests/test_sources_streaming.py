@@ -209,6 +209,35 @@ def test_stateful_attempt_totals_accumulate_across_batches(spark, tmp_path):
     # resumes from the checkpointed state: 3 + 2, and a fresh host at 1
     assert run("state2") == {"7.7.7.7": 5, "8.8.8.8": 1}
 
+    # differential vs the batch twin (queries()['journald_running_totals']
+    # semantics): final stream state == max cumulative count per host over
+    # the SAME spool input, computed with the batch window expression.
+    from pyspark.sql import Window
+
+    from security_log_analysis_rust_spark.pipeline.parse import (
+        parse_journald_lines,
+    )
+    from security_log_analysis_rust_spark.sources.logfiles import (
+        read_journald_json,
+    )
+
+    intr, _ = parse_journald_lines(read_journald_json(spark, str(indir)))
+    w = (
+        Window.partitionBy("host")
+        .orderBy("datetime")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch_final = {
+        r.host: r.total
+        for r in intr.select(
+            "host", F.count(F.lit(1)).over(w).alias("running_total")
+        )
+        .groupBy("host")
+        .agg(F.max("running_total").alias("total"))
+        .collect()
+    }
+    assert batch_final == {"7.7.7.7": 5, "8.8.8.8": 1}
+
 
 def test_streaming_windowed_counts(spark, tmp_path):
     from security_log_analysis_rust_spark.streaming.journald_stream import (
