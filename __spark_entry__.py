@@ -98,6 +98,17 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+#: corpus-size cache for the auto-sized ANN queries: the three auto paths
+#: share one count job per sf_dir instead of re-counting per query.
+_EMB_COUNT_CACHE: dict = {}
+
+
+def _emb_count(spark, sf_dir) -> int:
+    if sf_dir not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[sf_dir] = _emb(spark, sf_dir).count()
+    return _EMB_COUNT_CACHE[sf_dir]
+
+
 # --- document text helpers (Spark side) ------------------------------------
 
 def _doc_tokens():
@@ -669,7 +680,8 @@ def q_emb_topk_lsh(spark, sf_dir):
     from security_log_analysis_rust_spark.textops.ann import lsh_topk
 
     return lsh_topk(
-        _emb(spark, sf_dir), k=ANN_K, n_bits=ANN_BITS, n_tables=ANN_TABLES
+        _emb(spark, sf_dir), k=ANN_K, n_bits=ANN_BITS, n_tables=ANN_TABLES,
+        dim=EMB_DIM,
     )
 
 
@@ -692,6 +704,7 @@ def q_emb_topk_lsh_auto(spark, sf_dir):
     return lsh_topk(
         _emb(spark, sf_dir), k=ANN_K, n_bits=None, n_tables=ANN_TABLES,
         target_bucket=ANN_AUTO_TARGET, bank_bits=ANN_MAX_BITS,
+        n_vectors=_emb_count(spark, sf_dir), dim=EMB_DIM,
     )
 
 
@@ -705,7 +718,7 @@ def q_emb_near_dups(spark, sf_dir):
 
     return lsh_near_dups(
         _emb(spark, sf_dir), threshold=NEAR_DUP_SIM,
-        n_bits=ANN_BITS, n_tables=ANN_TABLES,
+        n_bits=ANN_BITS, n_tables=ANN_TABLES, dim=EMB_DIM,
     )
 
 
@@ -719,6 +732,7 @@ def q_emb_near_dups_auto(spark, sf_dir):
         _emb(spark, sf_dir), threshold=NEAR_DUP_SIM, n_bits=None,
         n_tables=ANN_TABLES, target_bucket=ANN_AUTO_TARGET,
         bank_bits=ANN_MAX_BITS,
+        n_vectors=_emb_count(spark, sf_dir), dim=EMB_DIM,
     )
 
 
@@ -737,7 +751,8 @@ def q_emb_topk_ivf_auto(spark, sf_dir):
     from security_log_analysis_rust_spark.textops.ann import ivf_topk
 
     return ivf_topk(
-        _emb(spark, sf_dir), k=ANN_K, n_centroids=None, n_probe=IVF_PROBE
+        _emb(spark, sf_dir), k=ANN_K, n_centroids=None, n_probe=IVF_PROBE,
+        n_vectors=_emb_count(spark, sf_dir),
     )
 
 
@@ -1098,8 +1113,11 @@ def _lsh_bucket_cte(auto_target: int | None = None) -> str:
 
     ``auto_target``: mirror the auto-sized path — embed the full
     ANN_MAX_BITS plane bank and derive the live bit count from the corpus
-    size inside SQL (greatest(4, ceil(log2(N / target))) =
-    textops.ann.auto_n_bits), filtering the bank to the first n bits."""
+    size inside SQL (least(greatest(4, ceil(log2(N / target))), bank) =
+    textops.ann.auto_n_bits capped at the bank, exactly as lsh_topk caps
+    it), filtering the bank to the first n bits. The least() keeps the
+    pairing contract exact at EVERY corpus size — past the bank's design
+    range both sides degrade to bank_bits together."""
     from security_log_analysis_rust_spark.textops.ann import seeded_planes
 
     gen_bits = ANN_MAX_BITS if auto_target else ANN_BITS
@@ -1112,9 +1130,9 @@ def _lsh_bucket_cte(auto_target: int | None = None) -> str:
     nb_cte, bit_filter = "", ""
     if auto_target:
         nb_cte = (
-            ", nb AS (SELECT greatest(4, CAST(ceil(log2("
-            f"greatest(count(*), 1) / {auto_target}.0)) AS INT)) AS n "
-            "FROM embeddings)"
+            ", nb AS (SELECT least(greatest(4, CAST(ceil(log2("
+            f"greatest(count(*), 1) / {auto_target}.0)) AS INT)), "
+            f"{ANN_MAX_BITS}) AS n FROM embeddings)"
         )
         bit_filter = " WHERE bit < (SELECT n FROM nb)"
     return _EMB_V_CTE + nb_cte + (

@@ -142,15 +142,24 @@ def with_lsh_buckets(
     ``bank_bits``: generate a fixed-size plane BANK and use its first
     ``n_bits`` planes per table. The bank decouples the plane *values* from
     the (data-dependent) bit count, so an auto-sized run and an independent
-    SQL oracle agree on the literals whatever n_bits resolves to. When
-    ``n_bits`` outgrows the bank (corpus beyond the bank's design range),
-    exact-size generation takes over — the bank is an oracle-reproducibility
-    device, not a scale limit.
+    SQL oracle agree on the literals whatever n_bits resolves to. A bank
+    caller asking for MORE bits than the bank holds is a contract breach
+    (the SQL oracle's embedded bank can't follow) and raises — auto-sized
+    callers cap at the bank instead (see :func:`lsh_topk`).
+
+    ``dim`` skips the one-row ``first()`` probe job when the caller already
+    knows the embedding width (every production caller does).
     """
     spark = emb.sparkSession
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    gen_bits = bank_bits if (bank_bits and bank_bits >= n_bits) else n_bits
+    if bank_bits is not None and n_bits > bank_bits:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds the plane bank ({bank_bits} bits): "
+            "the oracle-paired literals cannot follow. Cap n_bits at "
+            "bank_bits (auto paths do) or enlarge the bank on both sides."
+        )
+    gen_bits = bank_bits if bank_bits else n_bits
     planes = seeded_planes(n_tables, gen_bits, dim, seed=seed)
     rows = [
         (t, b, planes[t][b]) for t in range(n_tables) for b in range(n_bits)
@@ -219,6 +228,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     target_bucket: int = 4096,
     bank_bits: int | None = None,
+    n_vectors: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine among LSH-bucket candidates only.
 
@@ -230,16 +241,22 @@ def lsh_topk(
     vector. No corpus-sized broadcast, no driver-side collect.
 
     ``n_bits=None`` auto-sizes the bit count from the corpus so expected
-    bucket size stays ~``target_bucket`` as N grows (:func:`auto_n_bits`);
-    pass an explicit value for reproducible small-scale results.
-    ``bank_bits`` pins the plane literals independently of the resolved bit
-    count (see :func:`with_lsh_buckets`) so the auto path is oracle-pairable.
+    bucket size stays ~``target_bucket`` as N grows (:func:`auto_n_bits`),
+    capped at ``bank_bits`` when a bank pins the plane literals — the SQL
+    oracle derives the identical ``least(auto, bank)`` so the pairing
+    contract holds at every corpus size. Pass ``n_vectors`` (corpus size,
+    if already known) and ``dim`` to skip the count/first probe jobs —
+    the auto path then adds ZERO extra jobs over the pinned path.
     """
     if n_bits is None:
-        n_bits = auto_n_bits(emb.count(), target_bucket)
+        n_bits = auto_n_bits(
+            emb.count() if n_vectors is None else n_vectors, target_bucket
+        )
+        if bank_bits is not None:
+            n_bits = min(n_bits, bank_bits)
     buckets = with_lsh_buckets(
         emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col, bank_bits=bank_bits,
+        id_col=id_col, vec_col=vec_col, bank_bits=bank_bits, dim=dim,
     )
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     grouped = buckets.withColumnRenamed(id_col, "vec_id").join(base, "vec_id")
@@ -270,6 +287,8 @@ def lsh_near_dups(
     vec_col: str = "embedding",
     target_bucket: int = 4096,
     bank_bits: int | None = None,
+    n_vectors: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidates, exact
     cosine >= ``threshold``. The dedup flavor of the ANN stack — candidates
@@ -277,12 +296,17 @@ def lsh_near_dups(
     so the work is bucket-bounded rather than all-pairs. Recall contract:
     only pairs colliding in >= 1 of the ``n_tables`` tables are examined
     (same OR-amplification math as lsh_topk). ``n_bits=None`` auto-sizes
-    from the corpus like :func:`lsh_topk` (same plane-bank mechanics)."""
+    from the corpus like :func:`lsh_topk` (same plane-bank mechanics,
+    bank-capped); ``n_vectors``/``dim`` skip the probe jobs likewise."""
     if n_bits is None:
-        n_bits = auto_n_bits(emb.count(), target_bucket)
+        n_bits = auto_n_bits(
+            emb.count() if n_vectors is None else n_vectors, target_bucket
+        )
+        if bank_bits is not None:
+            n_bits = min(n_bits, bank_bits)
     buckets = with_lsh_buckets(
         emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col, bank_bits=bank_bits,
+        id_col=id_col, vec_col=vec_col, bank_bits=bank_bits, dim=dim,
     ).withColumnRenamed(id_col, "vec_id")
     pairs_expr = F.flatten(
         F.transform(
@@ -334,6 +358,7 @@ def ivf_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     alternative to :func:`lsh_topk`.
@@ -354,7 +379,9 @@ def ivf_topk(
     """
     spark = emb.sparkSession
     if n_centroids is None:
-        n_centroids = auto_n_centroids(emb.count())
+        n_centroids = auto_n_centroids(
+            emb.count() if n_vectors is None else n_vectors
+        )
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     cent_rows = (
         base.withColumn(
