@@ -8,12 +8,15 @@ Decode support (all stdlib — no codec library in this container):
 * **PNG**: full pixel decode for the non-interlaced 8-bit-depth formats
   (gray / RGB / gray+alpha / RGBA) — chunk walk, zlib IDAT inflate, and
   per-scanline unfiltering incl. the Paeth predictor (:func:`decode_png`).
+* **JPEG**: baseline-sequential pixel decode (huffman + dequant + IDCT +
+  chroma upsampling + YCbCr transform) in :mod:`.jpeg` — the dominant web
+  image format.
 * **WAV**: PCM sample decode for 8/16-bit integer formats
   (:func:`decode_wav`).
 * anything else falls back to the deterministic fake decoder, keeping the
   Spark-side contract (schemas, batch shapes, partitioning, null/corrupt
-  handling) uniform; exotic codecs (JPEG, MP3, video) would slot in at
-  :func:`decode_png`'s position as one-function changes.
+  handling) uniform; remaining codecs (progressive JPEG, MP3, video) would
+  slot in beside :func:`decode_png` as one-function changes.
 """
 
 from __future__ import annotations
@@ -70,10 +73,16 @@ N_FEATURES = 16
 
 
 def _decode_image_real(payload: bytes):
-    """Real PIXEL decode hook — PNG handled natively (:func:`decode_png`);
-    returns None for formats that would need an external codec (JPEG &c),
-    which callers route to the deterministic fake decoder."""
-    return decode_png(payload)
+    """Real PIXEL decode hook — PNG (:func:`decode_png`) and baseline JPEG
+    (:mod:`.jpeg`) handled natively; returns None for formats that would
+    need an external codec (progressive JPEG, webp &c), which callers route
+    to the deterministic fake decoder."""
+    pixels = decode_png(payload)
+    if pixels is None:
+        from .jpeg import decode_jpeg
+
+        pixels = decode_jpeg(payload)
+    return pixels
 
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -100,19 +109,47 @@ def parse_png_header(payload: bytes):
     return width, height, channels
 
 
-def parse_wav_header(payload: bytes):
-    """Pure-Python RIFF/WAVE fmt-chunk parse ->
-    (n_channels, sample_rate, bits_per_sample) or None."""
+def _find_riff_chunk(payload: bytes, chunk_id: bytes):
+    """Walk RIFF sub-chunks (word-aligned) -> (offset, length) of the first
+    ``chunk_id`` chunk's data, or None. Real encoders put LIST/INFO chunks
+    before 'fmt ', so fixed offsets are wrong on valid files."""
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == chunk_id:
+            return pos + 8, ln
+        pos += 8 + ln + (ln & 1)
+    return None
+
+
+def _parse_wav_fmt(payload: bytes):
+    """-> (audio_format, n_channels, sample_rate, bits) from the 'fmt '
+    chunk found by chunk walk, or None."""
     if len(payload) < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    if payload[12:16] != b"fmt ":
+    loc = _find_riff_chunk(payload, b"fmt ")
+    if loc is None or loc[1] < 16 or loc[0] + 16 > len(payload):
         return None
-    n_channels = int.from_bytes(payload[22:24], "little")
-    sample_rate = int.from_bytes(payload[24:28], "little")
-    bits = int.from_bytes(payload[34:36], "little")
+    off = loc[0]
+    audio_format = int.from_bytes(payload[off : off + 2], "little")
+    n_channels = int.from_bytes(payload[off + 2 : off + 4], "little")
+    sample_rate = int.from_bytes(payload[off + 4 : off + 8], "little")
+    bits = int.from_bytes(payload[off + 14 : off + 16], "little")
     if n_channels == 0 or sample_rate == 0:
         return None
-    return n_channels, sample_rate, bits
+    return audio_format, n_channels, sample_rate, bits
+
+
+def parse_wav_header(payload: bytes):
+    """Pure-Python RIFF/WAVE fmt-chunk parse ->
+    (n_channels, sample_rate, bits_per_sample) or None. The 'fmt ' chunk is
+    located by the same chunk walk as 'data' (it need not sit at offset 12)."""
+    fmt = _parse_wav_fmt(payload)
+    if fmt is None:
+        return None
+    return fmt[1], fmt[2], fmt[3]
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -126,15 +163,26 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes):
+#: decode_png declines images above this many SAMPLES (width*height*channels)
+#: — bounds worst-case CPU of the sequential Average/Paeth unfilter loops
+#: inside a worker task (a 16 MP RGBA image is ~67M samples; tune per
+#: deployment). The cap is a contract, not a truncation: oversize images
+#: return None and route to the header-only/fake path.
+PNG_MAX_SAMPLES = 1 << 26
+
+
+def decode_png(payload: bytes, max_samples: int = PNG_MAX_SAMPLES):
     """Full stdlib PNG pixel decode -> uint8 ndarray (h, w, channels), or
     None if the payload isn't a PNG this decoder handles (8-bit depth,
-    non-interlaced, gray/RGB/gray+alpha/RGBA).
+    non-interlaced, gray/RGB/gray+alpha/RGBA, <= ``max_samples`` samples).
 
     Chunk walk per the PNG spec, zlib inflate of the concatenated IDAT
-    stream, then scanline unfiltering (filters 0-4). Pure Python per
-    scanline — these run inside Arrow-batched workers on thumbnail-sized
-    payloads; a vectorized library would slot in here unchanged.
+    stream, then scanline unfiltering (filters 0-4). Filters 0/2 are pure
+    numpy; Sub (1) is a per-lane byte cumsum (vectorized — the additive
+    recurrence mod 256 is a prefix sum over each bpp-strided lane); Average
+    (3) and Paeth (4) carry a genuine nonlinear sequential dependency along
+    the scanline and run as native-int list loops (measured ~8x faster than
+    numpy scalar indexing), bounded by ``max_samples``.
     """
     if len(payload) < 45 or not payload.startswith(PNG_SIGNATURE):
         return None
@@ -162,6 +210,8 @@ def decode_png(payload: bytes):
         return None  # palette / sub-byte / interlaced: out of scope
     if width == 0 or height == 0:
         return None
+    if width * height * channels > max_samples:
+        return None  # documented size contract (see PNG_MAX_SAMPLES)
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
@@ -170,33 +220,46 @@ def decode_png(payload: bytes):
     if len(raw) != height * (stride + 1):
         return None
     out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int64)
     bpp = channels
     for y in range(height):
         row_start = y * (stride + 1)
         ftype = raw[row_start]
         line = np.frombuffer(
             raw[row_start + 1 : row_start + 1 + stride], dtype=np.uint8
-        ).astype(np.int32)
+        ).astype(np.int64)
         if ftype == 0:  # None
             recon = line
-        elif ftype == 1:  # Sub
-            recon = line.copy()
-            for x in range(bpp, stride):
-                recon[x] = (recon[x] + recon[x - bpp]) & 0xFF
+        elif ftype == 1:  # Sub: per-lane prefix sum mod 256
+            recon = (line.reshape(-1, bpp).cumsum(axis=0) & 0xFF).reshape(-1)
         elif ftype == 2:  # Up
             recon = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            recon = line.copy()
+        elif ftype == 3:  # Average — sequential; native-int loop
+            rl = line.tolist()
+            pv = prev.tolist()
             for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (recon[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            recon = line.copy()
+                left = rl[x - bpp] if x >= bpp else 0
+                rl[x] = (rl[x] + ((left + pv[x]) >> 1)) & 0xFF
+            recon = np.asarray(rl, dtype=np.int64)
+        elif ftype == 4:  # Paeth — sequential; native-int loop
+            rl = line.tolist()
+            pv = prev.tolist()
             for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                recon[x] = (recon[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+                left = rl[x - bpp] if x >= bpp else 0
+                ul = pv[x - bpp] if x >= bpp else 0
+                up = pv[x]
+                p = left + up - ul
+                pa = p - left if p >= left else left - p
+                pb = p - up if p >= up else up - p
+                pc = p - ul if p >= ul else ul - p
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                rl[x] = (rl[x] + pred) & 0xFF
+            recon = np.asarray(rl, dtype=np.int64)
         else:
             return None
         out[y] = recon.astype(np.uint8)
@@ -208,24 +271,16 @@ def decode_wav(payload: bytes):
     """Stdlib WAV PCM decode -> (sample_rate, int16 ndarray (n, channels)),
     or None for anything that isn't integer-PCM RIFF/WAVE. Walks the RIFF
     chunks to the 'data' chunk; handles 16-bit signed and 8-bit unsigned."""
-    hdr = parse_wav_header(payload)
-    if hdr is None:
+    fmt = _parse_wav_fmt(payload)
+    if fmt is None:
         return None
-    n_channels, sample_rate, bits = hdr
-    audio_format = int.from_bytes(payload[20:22], "little")
+    audio_format, n_channels, sample_rate, bits = fmt
     if audio_format != 1 or bits not in (8, 16):
         return None
-    pos = 12
-    data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        if cid == b"data":
-            data = payload[pos + 8 : pos + 8 + ln]
-            break
-        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
-    if data is None:
+    loc = _find_riff_chunk(payload, b"data")
+    if loc is None:
         return None
+    data = payload[loc[0] : loc[0] + loc[1]]
     if bits == 16:
         samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
     else:
@@ -267,9 +322,13 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """binary payloads -> typed decode results (Arrow-batched)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import parse_jpeg_header
+
         for pdf in batches:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
                 if payload is None:
                     rows.append((mid, None, None, None, "null", None))
                     continue
@@ -277,22 +336,29 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 if len(payload) < 8:  # corrupt-input contract
                     rows.append((mid, None, None, None, "corrupt", None))
                     continue
-                pixels = decode_png(payload)
+                # image decoders run only on image rows (audio/video payloads
+                # can't be PNG/JPEG; skipping them saves the signature walks)
+                pixels = _decode_image_real(payload) if kind == "image" else None
                 if pixels is not None:  # real pixel decode
                     h, w, c = pixels.shape
                     feats = image_features(pixels)
                 else:
                     w, h, c, feats = _fake_decode(payload)
-                    png = parse_png_header(payload)
-                    if png is not None:  # header-only (palette/interlaced)
-                        w, h, c = png
+                    if kind == "image":
+                        hdr = parse_png_header(payload) or parse_jpeg_header(
+                            payload
+                        )
+                        if hdr is not None:  # header-only (palette/progressive)
+                            w, h, c = hdr
                 rows.append((mid, w, h, c, "ok", feats.tolist()))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "n_channels", "ok", "features"],
             )
 
-    return media.select("media_id", "payload").mapInPandas(gen, DECODED_SCHEMA)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, DECODED_SCHEMA
+    )
 
 
 AUDIO_SCHEMA = StructType(

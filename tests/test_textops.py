@@ -561,3 +561,135 @@ def test_ann_bank_bits_contract(spark, emb):
         bank_bits=6, n_vectors=1 << 30, dim=64,
     )
     assert capped.count() > 0
+
+
+def test_jpeg_roundtrip_gray_and_color():
+    """Baseline JPEG decoder vs an independent forward encoder (Q=1):
+    solid blocks are bit-exact, arbitrary pixels within coefficient-
+    rounding tolerance; non-multiple-of-8 dims crop correctly."""
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.jpeg import (
+        decode_jpeg,
+        parse_jpeg_header,
+    )
+    from util_jpeg import encode_color, encode_gray
+
+    solid = np.full((8, 8), 100, dtype=np.uint8)
+    dec = decode_jpeg(encode_gray(solid))
+    assert dec.shape == (8, 8, 1)
+    assert (dec[:, :, 0] == 100).all()  # DC-only block: exact
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    payload = encode_gray(img)
+    assert parse_jpeg_header(payload) == (21, 13, 1)
+    d = decode_jpeg(payload)
+    assert d.shape == (13, 21, 1)
+    assert np.abs(d[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+    rgb = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    d3 = decode_jpeg(encode_color(rgb))
+    assert d3.shape == (10, 14, 3)
+    assert np.abs(d3.astype(int) - rgb.astype(int)).max() <= 2
+
+    # 4:2:0 subsampling: constant color survives the chroma downsample
+    flat = np.full((20, 24, 3), (30, 90, 200), dtype=np.uint8)
+    d4 = decode_jpeg(encode_color(flat, subsample=True))
+    assert d4.shape == (20, 24, 3)
+    assert np.abs(d4.astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_jpeg_restart_markers_and_corrupt_inputs():
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.jpeg import decode_jpeg
+    from util_jpeg import encode_gray
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 32), dtype=np.uint8)  # 8 MCUs
+    payload = encode_gray(img, restart_interval=3)
+    assert b"\xff\xd0" in payload  # RST0 actually emitted
+    d = decode_jpeg(payload)
+    assert d is not None
+    assert np.abs(d[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no frame
+    assert decode_jpeg(b"not a jpeg at all..") is None
+    assert decode_jpeg(payload[: len(payload) // 2]) is None  # truncated
+    # progressive (SOF2) declines pixel decode but header still parses
+    from security_log_analysis_rust_spark.textops.jpeg import parse_jpeg_header
+
+    prog = bytearray(payload)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+    assert parse_jpeg_header(bytes(prog)) == (32, 16, 1)
+
+
+def test_decode_media_routes_jpeg_and_kind(spark):
+    """decode_media: JPEG rows get REAL pixel decode (features from actual
+    pixels); non-image kinds skip the image decoders entirely."""
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from util_jpeg import encode_gray
+
+    img = np.full((8, 16), 200, dtype=np.uint8)
+    payload = encode_gray(img)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(payload), "image/jpeg"),
+            (2, "audio", bytearray(payload), "audio/x-fake"),  # same bytes!
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].width, got[1].height, got[1].n_channels) == (16, 8, 1)
+    # solid-200 image: every grid-cell luminance feature is exactly 200
+    assert all(abs(f - 200.0) < 1e-6 for f in got[1].features)
+    # the SAME payload under kind=audio routes to the fake decoder
+    assert got[2].n_channels == 3 and got[2].width != 16
+
+
+def test_wav_fmt_chunk_after_list_chunk():
+    """ADVICE r3: a LIST/INFO chunk before 'fmt ' (common from real
+    encoders) must not break the fmt parse."""
+    import struct
+
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        decode_wav,
+        parse_wav_header,
+    )
+
+    samples = (np.sin(np.linspace(0, 20, 400)) * 20000).astype("<i2")
+    data = samples.tobytes()
+    info = b"INFOIART" + struct.pack("<I", 4) + b"test"
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav_header(wav) == (1, 8000, 16)
+    rate, decoded = decode_wav(wav)
+    assert rate == 8000
+    assert decoded.shape == (400, 1)
+    assert (decoded[:, 0] == samples).all()
+
+
+def test_png_max_samples_contract():
+    """Oversize PNGs decline pixel decode (documented cap) instead of
+    burning unbounded CPU in the sequential unfilter loops."""
+    from security_log_analysis_rust_spark.textops.multimodal import decode_png
+
+    png = _tiny_png(64, 64, color_type=2)
+    assert decode_png(png) is not None
+    assert decode_png(png, max_samples=64 * 64 * 3 - 1) is None
