@@ -353,6 +353,12 @@ def write_sinks(
     intr_path = os.path.join(out_dir, "intrusion_log")
     sysd_path = os.path.join(out_dir, "systemd_log_messages")
     n_intr = append_dedup(spark, intr_path, to_intrusion_log(dedup_intrusions(events)))
-    sysd = to_systemd_log_messages(systemd)
-    sysd.write.mode("append").parquet(sysd_path)
-    return {"intrusion_log": n_intr, "systemd_log_messages": sysd.count()}
+    # persist so the count doesn't re-derive the projection (and re-parse,
+    # when the caller didn't persist upstream)
+    sysd = to_systemd_log_messages(systemd).persist()
+    try:
+        sysd.write.mode("append").parquet(sysd_path)
+        n_sysd = sysd.count()
+    finally:
+        sysd.unpersist()
+    return {"intrusion_log": n_intr, "systemd_log_messages": n_sysd}

@@ -45,9 +45,35 @@ def journalctl_command(
     return cmd
 
 
+def _next_seq(spool_dir: str) -> int:
+    """Seed the spool sequence PAST every existing ``journal-*.json``.
+
+    A daemon restart into the same spool dir is the routine lifecycle; if
+    sequence numbers restarted at 0, new output would overwrite earlier
+    spool files — and Structured Streaming's file source (which tracks seen
+    files by PATH in its checkpoint) would never re-read the overwritten
+    names, silently losing those records."""
+    import glob as _glob
+    import re as _re
+
+    top = 0
+    for p in _glob.glob(os.path.join(spool_dir, "journal-*.json")):
+        m = _re.fullmatch(r"journal-(\d+)\.json", os.path.basename(p))
+        if m:
+            top = max(top, int(m.group(1)) + 1)
+    return top
+
+
 def _commit(spool_dir: str, seq: int, lines: List[str]) -> str:
-    """Write one spool file atomically (tmp + rename)."""
+    """Write one spool file atomically (tmp + rename); refuses to replace
+    an existing final path (a duplicate name means a sequencing bug, and
+    clobbering it would destroy records a stream reader hasn't seen)."""
     final = os.path.join(spool_dir, f"journal-{seq:06d}.json")
+    if os.path.exists(final):
+        raise FileExistsError(
+            f"spool file {final} already exists; refusing to overwrite "
+            "(records in it may be unread)"
+        )
     tmp = final + ".tmp"
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -76,7 +102,7 @@ def spool_journalctl(
     )
     written: List[str] = []
     buf: List[str] = []
-    seq = 0
+    seq = _next_seq(spool_dir)
     n = 0
     try:
         assert proc.stdout is not None
@@ -128,7 +154,7 @@ class JournalFollower:
             self._cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
         )
         buf: List[str] = []
-        seq = 0
+        seq = _next_seq(self.spool_dir)
         assert self._proc.stdout is not None
         for line in self._proc.stdout:
             if self._stop.is_set():

@@ -321,6 +321,25 @@ def test_journalctl_spool_feeds_existing_reader(spark, tmp_path):
     events, _sysd = parse_journald_lines(df)
     assert events.count() == 25
 
+    # ADVICE r3: daemon restart into the SAME spool dir must not overwrite
+    # earlier files (the stream checkpoint tracks paths — overwritten names
+    # are never re-read). The sequence seeds past existing files.
+    files2 = spool_journalctl(str(spool), binary=fake, lines_per_file=10)
+    assert len(files2) == 3
+    assert set(files) | set(files2) == {str(p) for p in spool.glob("journal-*.json")}
+    assert not set(files) & set(files2), "restart reused a spool filename"
+    assert read_journald_json(spark, str(spool)).count() == 50
+
+    # and a direct name collision refuses rather than clobbers
+    import pytest as _pytest
+
+    from security_log_analysis_rust_spark.sources.journalctl import _commit
+
+    victim = sorted(spool.glob("journal-*.json"))[0]
+    seq = int(victim.name[len("journal-"):-len(".json")])
+    with _pytest.raises(FileExistsError):
+        _commit(str(spool), seq, ["{}"])
+
 
 def test_journalctl_follow_rotates_into_stream_dir(spark, tmp_path):
     """The -f variant (parse_logs.rs:306-326): a follower thread rotates
