@@ -469,6 +469,66 @@ def q_docs_quality(spark, sf_dir):
     )
 
 
+def q_docs_repetition(spark, sf_dir):
+    """Repetition signals (Gopher-style quality filters, Rae et al. 2021):
+    per doc the type-token ratio, the most-frequent-token mass, and the
+    duplicate-2-gram fraction — the standard screens for degenerate /
+    looping text in a training corpus.
+
+    Scale: the token mode is an explode + two hash aggregates (map-side
+    combining both times; NEVER a per-doc quadratic HOF over the token
+    array), and the 2-gram stats are linear-size array expressions. One
+    narrow shuffle on (doc_id, tok), one on doc_id."""
+    docs = _spread_small_input(_docs(spark, sf_dir))
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    arr = docs.select("doc_id", toks.alias("toks"))
+    bi = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat(a, F.lit("\x01"), b),
+    )
+    bi_stats = arr.select(
+        "doc_id",
+        F.when(F.size("toks") <= 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1 - F.size(F.array_distinct(bi)) / (F.size("toks") - 1), 6
+            )
+        )
+        .alias("dup_2gram_frac"),
+    )
+    tc = (
+        arr.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_tokens"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_tokens"),
+        F.max("c").alias("__top"),
+    )
+    return per.join(bi_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("__top") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        "dup_2gram_frac",
+    )
+
+
+def q_corpus_source_stats(spark, sf_dir):
+    """Per-source corpus accounting (the dataset-card numbers): doc count,
+    char volume, mean/min/max doc length per source shard."""
+    return _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 #: document-frequency cap for the shingle self-join: a shingle present in
 #: more than DF_CAP documents is boilerplate and would contribute |df|^2
 #: candidate rows (the hot-shingle quadratic blowup). Dropping it bounds the
@@ -797,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_langid": q_docs_langid,
         "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "corpus_source_stats": q_corpus_source_stats,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
         "docs_dup_clusters": q_docs_dup_clusters,
@@ -1388,6 +1450,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, stopword_count, punct_count, "
             "(n_tokens >= 5 AND punct_count * 5 < n_tokens AND stopword_count > 0) "
             "AS is_quality FROM q"
+        ),
+        "docs_repetition": (
+            r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), "
+            r"'\s+') AS l FROM documents), "
+            "tok AS (SELECT doc_id, unnest(l) AS tok FROM t), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "per AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens, "
+            "CAST(count(*) AS INT) AS n_distinct_tokens, max(c) AS top_cnt "
+            "FROM tc GROUP BY 1), "
+            "bi AS (SELECT doc_id, CASE WHEN len(l) <= 1 THEN 0.0 ELSE "
+            "round(1 - len(list_distinct(list_transform(range(1, len(l)), "
+            "i -> l[i] || chr(1) || l[i+1]))) / CAST(len(l) - 1 AS DOUBLE), 6) "
+            "END AS dup_2gram_frac FROM t) "
+            "SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens, "
+            "round(p.n_distinct_tokens / CAST(p.n_tokens AS DOUBLE), 6) AS ttr, "
+            "round(p.top_cnt / CAST(p.n_tokens AS DOUBLE), 6) AS top_token_frac, "
+            "b.dup_2gram_frac "
+            "FROM per p JOIN bi b ON p.doc_id = b.doc_id"
+        ),
+        "corpus_source_stats": (
+            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            "round(avg(n_chars), 6) AS avg_chars, min(n_chars) AS min_chars, "
+            "max(n_chars) AS max_chars FROM documents GROUP BY source"
         ),
         "docs_jaccard_pairs": _DOC_SHINGLE_CTE + (
             ", sizes AS (SELECT doc_id, count(*) AS sz FROM shing GROUP BY 1), "
