@@ -11,6 +11,8 @@ Decode support (all stdlib — no codec library in this container):
 * **JPEG**: baseline-sequential pixel decode (huffman + dequant + IDCT +
   chroma upsampling + YCbCr transform) in :mod:`.jpeg` — the dominant web
   image format.
+* **GIF**: 87a/89a first-frame decode (variable-width LZW, palettes,
+  interlace, transparency) in :mod:`.gif`.
 * **WAV**: PCM sample decode for 8/16-bit integer formats
   (:func:`decode_wav`).
 * anything else falls back to the deterministic fake decoder, keeping the
@@ -73,15 +75,19 @@ N_FEATURES = 16
 
 
 def _decode_image_real(payload: bytes):
-    """Real PIXEL decode hook — PNG (:func:`decode_png`) and baseline JPEG
-    (:mod:`.jpeg`) handled natively; returns None for formats that would
-    need an external codec (progressive JPEG, webp &c), which callers route
-    to the deterministic fake decoder."""
+    """Real PIXEL decode hook — PNG (:func:`decode_png`), baseline JPEG
+    (:mod:`.jpeg`) and GIF (:mod:`.gif`) handled natively; returns None for
+    formats that would need an external codec (progressive JPEG, webp &c),
+    which callers route to the deterministic fake decoder."""
     pixels = decode_png(payload)
     if pixels is None:
         from .jpeg import decode_jpeg
 
         pixels = decode_jpeg(payload)
+    if pixels is None:
+        from .gif import decode_gif
+
+        pixels = decode_gif(payload)
     return pixels
 
 
@@ -322,6 +328,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """binary payloads -> typed decode results (Arrow-batched)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import parse_gif_header
         from .jpeg import parse_jpeg_header
 
         for pdf in batches:
@@ -345,8 +352,10 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 else:
                     w, h, c, feats = _fake_decode(payload)
                     if kind == "image":
-                        hdr = parse_png_header(payload) or parse_jpeg_header(
-                            payload
+                        hdr = (
+                            parse_png_header(payload)
+                            or parse_jpeg_header(payload)
+                            or parse_gif_header(payload)
                         )
                         if hdr is not None:  # header-only (palette/progressive)
                             w, h, c = hdr

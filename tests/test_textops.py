@@ -693,3 +693,57 @@ def test_png_max_samples_contract():
     png = _tiny_png(64, 64, color_type=2)
     assert decode_png(png) is not None
     assert decode_png(png, max_samples=64 * 64 * 3 - 1) is None
+
+
+def test_gif_roundtrip_paths():
+    """GIF decoder vs an independent test encoder: plain, interlaced,
+    transparent, 2-color, and REAL LZW (dictionary growth, width bumps,
+    4096-entry table-full freeze) all reproduce exact pixels."""
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.gif import (
+        decode_gif,
+        parse_gif_header,
+    )
+    from util_gif import encode_gif
+
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 21), dtype=np.uint8)
+    g = encode_gif(idx, pal)
+    assert parse_gif_header(g) == (21, 13, 3)
+    assert (decode_gif(g) == pal[idx]).all()
+    assert (decode_gif(encode_gif(idx, pal, interlace=True)) == pal[idx]).all()
+    # transparency: transparent pixels take the background palette entry
+    got = decode_gif(encode_gif(idx, pal, transparent=5))
+    assert (got == pal[np.where(idx == 5, 0, idx)]).all()
+    # real LZW incl. the 4096-code table-full freeze (256x256 tiled)
+    big = np.tile(rng.integers(0, 4, (16, 16), dtype=np.uint8), (16, 16))
+    assert (decode_gif(encode_gif(big, pal[:4], compress=True)) == pal[:4][big]).all()
+    noise = rng.integers(0, 16, (64, 64), dtype=np.uint8)
+    assert (decode_gif(encode_gif(noise, pal, compress=True)) == pal[noise]).all()
+    assert decode_gif(b"GIF89a" + b"\x00" * 20) is None
+    assert decode_gif(b"not a gif") is None
+
+
+def test_decode_media_routes_gif(spark):
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from util_gif import encode_gif
+
+    pal = np.array([[10, 20, 30], [200, 200, 200]], dtype=np.uint8)
+    idx = np.zeros((8, 16), dtype=np.uint8)
+    idx[:, 8:] = 1
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_gif(idx, pal)), "image/gif")],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(media).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (16, 8, 3)
+    # left half luminance 20, right half 200: grid features reflect pixels
+    assert abs(row.features[0] - 20.0) < 1e-4
+    assert abs(row.features[3] - 200.0) < 1e-4
