@@ -517,6 +517,36 @@ def q_docs_repetition(spark, sf_dir):
     )
 
 
+def q_docs_contamination(spark, sf_dir):
+    """Cross-document shingle-sharing score (the train/test-decontamination
+    signal, e.g. GPT-3 appendix C / PaLM dedup reports): for each doc, the
+    fraction of its distinct word-3-gram shingles that also appear in at
+    least one OTHER document.
+
+    Scale: shingle document-frequency is one hash aggregate over the
+    exploded shingles (map-side combining); the per-doc fraction is a
+    second aggregate — no self-join, no pair blowup, linear in corpus
+    shingle volume."""
+    sh = _doc_shingles(_docs(spark, sf_dir))
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("int")).cast("int").alias("shared_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "shared_shingles",
+            F.round(F.col("shared_shingles") / F.col("n_shingles"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
 def q_corpus_source_stats(spark, sf_dir):
     """Per-source corpus accounting (the dataset-card numbers): doc count,
     char volume, mean/min/max doc length per source shard."""
@@ -858,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid": q_docs_langid,
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
+        "docs_contamination": q_docs_contamination,
         "corpus_source_stats": q_corpus_source_stats,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -1468,6 +1499,15 @@ def oracle_sql() -> dict[str, str]:
             "round(p.top_cnt / CAST(p.n_tokens AS DOUBLE), 6) AS top_token_frac, "
             "b.dup_2gram_frac "
             "FROM per p JOIN bi b ON p.doc_id = b.doc_id"
+        ),
+        "docs_contamination": _DOC_SHINGLE_CTE + (
+            ", freq AS (SELECT sh, count(*) AS df FROM shing GROUP BY 1) "
+            "SELECT s.doc_id, CAST(count(*) AS INT) AS n_shingles, "
+            "CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS INT) "
+            "AS shared_shingles, "
+            "round(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) / "
+            "CAST(count(*) AS DOUBLE), 6) AS shared_frac "
+            "FROM shing s JOIN freq f ON s.sh = f.sh GROUP BY s.doc_id"
         ),
         "corpus_source_stats": (
             "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "

@@ -747,3 +747,35 @@ def test_decode_media_routes_gif(spark):
     # left half luminance 20, right half 200: grid features reflect pixels
     assert abs(row.features[0] - 20.0) < 1e-4
     assert abs(row.features[3] - 200.0) < 1e-4
+
+
+def test_jpeg_gif_property_roundtrip():
+    """Property check (hypothesis): arbitrary small images survive the
+    encode->decode round trip — JPEG within coefficient-rounding tolerance,
+    GIF exactly."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from security_log_analysis_rust_spark.textops.gif import decode_gif
+    from security_log_analysis_rust_spark.textops.jpeg import decode_jpeg
+    from util_gif import encode_gif
+    from util_jpeg import encode_gray
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1),
+        st.booleans(),
+    )
+    def check(h, w, seed, interlace):
+        rng = np.random.default_rng(seed)
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        d = decode_jpeg(encode_gray(gray))
+        assert d is not None and d.shape == (h, w, 1)
+        assert np.abs(d[:, :, 0].astype(int) - gray.astype(int)).max() <= 1
+
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        idx = rng.integers(0, 8, (h, w), dtype=np.uint8)
+        g = decode_gif(encode_gif(idx, pal, interlace=interlace, compress=True))
+        assert g is not None and (g == pal[idx]).all()
+
+    check()
