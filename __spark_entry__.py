@@ -547,6 +547,54 @@ def q_docs_contamination(spark, sf_dir):
     )
 
 
+#: docs_training_corpus repetition thresholds — sited from the sf0.01
+#: signal distribution (top_token_frac p90 ~ 0.14, dup_2gram_frac p90 ~
+#: 0.065) so the filters actually bite on the synthetic corpus; a real
+#: deployment would tune these per-corpus exactly the same way.
+TRAIN_TOP_TOKEN_MAX = 0.12
+TRAIN_DUP_2GRAM_MAX = 0.05
+
+
+def q_docs_training_corpus(spark, sf_dir):
+    """The END-TO-END data-pipeline query: raw corpus in, training-ready
+    corpus out. Composes the full filter stack the way a real run would —
+    language ID == 'en', heuristic quality gate, repetition screens
+    (top-token mass, duplicate-2-gram fraction), and near-dup removal
+    (keep-min-per-cluster over the MinHash-LSH components).
+
+    Scale: each stage is the already-scale-audited operator; the
+    composition is four inner joins on doc_id (all shuffle on the same key
+    — AQE coalesces) over per-doc signal frames that are tiny relative to
+    the text itself."""
+    kept = q_docs_dedup_kept(spark, sf_dir)
+    lang = (
+        q_docs_langid(spark, sf_dir)
+        .filter(F.col("guess_lang") == "en")
+        .select("doc_id")
+    )
+    qual = (
+        q_docs_quality(spark, sf_dir)
+        .filter(F.col("is_quality"))
+        .select("doc_id")
+    )
+    rep = (
+        q_docs_repetition(spark, sf_dir)
+        .filter(
+            (F.col("top_token_frac") <= TRAIN_TOP_TOKEN_MAX)
+            & (F.col("dup_2gram_frac") <= TRAIN_DUP_2GRAM_MAX)
+        )
+        .select("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(kept, "doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 def q_corpus_source_stats(spark, sf_dir):
     """Per-source corpus accounting (the dataset-card numbers): doc count,
     char volume, mean/min/max doc length per source shard."""
@@ -889,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
         "docs_contamination": q_docs_contamination,
+        "docs_training_corpus": q_docs_training_corpus,
         "corpus_source_stats": q_corpus_source_stats,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -1307,6 +1356,57 @@ def _emb_topk_ivf_sql(auto: bool = False) -> str:
     )
 
 
+_LANGID_SQL = (
+            "WITH t AS (SELECT doc_id, ' '||lower(text)||' ' AS s FROM documents), "
+            "sc AS (SELECT doc_id, "
+            "CAST((length(s)-length(replace(s,' the ',' ')))/4 "
+            " + (length(s)-length(replace(s,' and ',' ')))/4 "
+            " + (length(s)-length(replace(s,' of ',' ')))/3 AS INT) AS en_score, "
+            "CAST((length(s)-length(replace(s,' der ',' ')))/4 "
+            " + (length(s)-length(replace(s,' und ',' ')))/4 "
+            " + (length(s)-length(replace(s,' die ',' ')))/4 AS INT) AS de_score, "
+            "CAST((length(s)-length(replace(s,' le ',' ')))/3 "
+            " + (length(s)-length(replace(s,' et ',' ')))/3 "
+            " + (length(s)-length(replace(s,' la ',' ')))/3 AS INT) AS fr_score "
+            "FROM t) "
+            "SELECT doc_id, en_score, de_score, fr_score, "
+            "CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en' "
+            "WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS guess_lang FROM sc"
+)
+
+_QUALITY_SQL = (
+            r"WITH q AS (SELECT doc_id, "
+            r"CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens, "
+            "CAST((length(' '||lower(text)||' ') - "
+            "length(replace(' '||lower(text)||' ', ' the ', ' ')))/4 AS INT) "
+            "AS stopword_count, "
+            r"CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INT) "
+            "AS punct_count FROM documents) "
+            "SELECT doc_id, n_tokens, stopword_count, punct_count, "
+            "(n_tokens >= 5 AND punct_count * 5 < n_tokens AND stopword_count > 0) "
+            "AS is_quality FROM q"
+)
+
+_REPETITION_SQL = (
+            r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), "
+            r"'\s+') AS l FROM documents), "
+            "tok AS (SELECT doc_id, unnest(l) AS tok FROM t), "
+            "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "per AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens, "
+            "CAST(count(*) AS INT) AS n_distinct_tokens, max(c) AS top_cnt "
+            "FROM tc GROUP BY 1), "
+            "bi AS (SELECT doc_id, CASE WHEN len(l) <= 1 THEN 0.0 ELSE "
+            "round(1 - len(list_distinct(list_transform(range(1, len(l)), "
+            "i -> l[i] || chr(1) || l[i+1]))) / CAST(len(l) - 1 AS DOUBLE), 6) "
+            "END AS dup_2gram_frac FROM t) "
+            "SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens, "
+            "round(p.n_distinct_tokens / CAST(p.n_tokens AS DOUBLE), 6) AS ttr, "
+            "round(p.top_cnt / CAST(p.n_tokens AS DOUBLE), 6) AS top_token_frac, "
+            "b.dup_2gram_frac "
+            "FROM per p JOIN bi b ON p.doc_id = b.doc_id"
+)
+
+
 def _pipeline_sql(select: str) -> str:
     from security_log_analysis_rust_spark.synth import ensure_synthetic
 
@@ -1453,52 +1553,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(substr(text, 1, 80)) AS prefix_fp, count(*) AS dup_count, "
             "min(doc_id) AS representative FROM documents GROUP BY 1"
         ),
-        "docs_langid": (
-            "WITH t AS (SELECT doc_id, ' '||lower(text)||' ' AS s FROM documents), "
-            "sc AS (SELECT doc_id, "
-            "CAST((length(s)-length(replace(s,' the ',' ')))/4 "
-            " + (length(s)-length(replace(s,' and ',' ')))/4 "
-            " + (length(s)-length(replace(s,' of ',' ')))/3 AS INT) AS en_score, "
-            "CAST((length(s)-length(replace(s,' der ',' ')))/4 "
-            " + (length(s)-length(replace(s,' und ',' ')))/4 "
-            " + (length(s)-length(replace(s,' die ',' ')))/4 AS INT) AS de_score, "
-            "CAST((length(s)-length(replace(s,' le ',' ')))/3 "
-            " + (length(s)-length(replace(s,' et ',' ')))/3 "
-            " + (length(s)-length(replace(s,' la ',' ')))/3 AS INT) AS fr_score "
-            "FROM t) "
-            "SELECT doc_id, en_score, de_score, fr_score, "
-            "CASE WHEN en_score >= de_score AND en_score >= fr_score THEN 'en' "
-            "WHEN de_score >= fr_score THEN 'de' ELSE 'fr' END AS guess_lang FROM sc"
-        ),
-        "docs_quality": (
-            r"WITH q AS (SELECT doc_id, "
-            r"CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens, "
-            "CAST((length(' '||lower(text)||' ') - "
-            "length(replace(' '||lower(text)||' ', ' the ', ' ')))/4 AS INT) "
-            "AS stopword_count, "
-            r"CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS INT) "
-            "AS punct_count FROM documents) "
-            "SELECT doc_id, n_tokens, stopword_count, punct_count, "
-            "(n_tokens >= 5 AND punct_count * 5 < n_tokens AND stopword_count > 0) "
-            "AS is_quality FROM q"
-        ),
-        "docs_repetition": (
-            r"WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), "
-            r"'\s+') AS l FROM documents), "
-            "tok AS (SELECT doc_id, unnest(l) AS tok FROM t), "
-            "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
-            "per AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens, "
-            "CAST(count(*) AS INT) AS n_distinct_tokens, max(c) AS top_cnt "
-            "FROM tc GROUP BY 1), "
-            "bi AS (SELECT doc_id, CASE WHEN len(l) <= 1 THEN 0.0 ELSE "
-            "round(1 - len(list_distinct(list_transform(range(1, len(l)), "
-            "i -> l[i] || chr(1) || l[i+1]))) / CAST(len(l) - 1 AS DOUBLE), 6) "
-            "END AS dup_2gram_frac FROM t) "
-            "SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens, "
-            "round(p.n_distinct_tokens / CAST(p.n_tokens AS DOUBLE), 6) AS ttr, "
-            "round(p.top_cnt / CAST(p.n_tokens AS DOUBLE), 6) AS top_token_frac, "
-            "b.dup_2gram_frac "
-            "FROM per p JOIN bi b ON p.doc_id = b.doc_id"
+        "docs_langid": _LANGID_SQL,
+        "docs_quality": _QUALITY_SQL,
+        "docs_repetition": _REPETITION_SQL,
+        "docs_training_corpus": (
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN (SELECT doc_id FROM (" + _docs_dup_clusters_sql() + ") t "
+            "WHERE cluster_id = doc_id) kept ON d.doc_id = kept.doc_id "
+            "JOIN (SELECT doc_id FROM (" + _LANGID_SQL + ") l "
+            "WHERE guess_lang = 'en') lang ON d.doc_id = lang.doc_id "
+            "JOIN (SELECT doc_id FROM (" + _QUALITY_SQL + ") q "
+            "WHERE is_quality) qual ON d.doc_id = qual.doc_id "
+            "JOIN (SELECT doc_id FROM (" + _REPETITION_SQL + ") r "
+            f"WHERE top_token_frac <= {TRAIN_TOP_TOKEN_MAX} "
+            f"AND dup_2gram_frac <= {TRAIN_DUP_2GRAM_MAX}) rep "
+            "ON d.doc_id = rep.doc_id"
         ),
         "docs_contamination": _DOC_SHINGLE_CTE + (
             ", freq AS (SELECT sh, count(*) AS df FROM shing GROUP BY 1) "
