@@ -125,6 +125,14 @@ def run_headline(spark, sf_dir: str, trials: int = 2) -> dict:
         timed("q9_ann_lsh", lambda: E.q_emb_topk_lsh(spark, sf_dir).count())
         trial_times.append(times)
 
+    # extra (NOT in the headline sum, to keep round-over-round totals
+    # comparable): the composed end-to-end training-corpus pipeline
+    t0 = time.time()
+    extras["training_corpus_rows"] = E.q_docs_training_corpus(
+        spark, sf_dir
+    ).count()
+    extras["training_corpus_sec"] = round(time.time() - t0, 3)
+
     best = {k: min(t[k] for t in trial_times) for k in trial_times[0]}
     return {"times": best, "trials": trial_times, "extras": extras}
 
