@@ -273,20 +273,61 @@ def decode_png(payload: bytes, max_samples: int = PNG_MAX_SAMPLES):
     return out.reshape(height, width, channels)
 
 
+_G711_CACHE: dict = {}
+
+
+def _mulaw_lut() -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 lookup (ITU-T G.711 decoding)."""
+    if "mu" not in _G711_CACHE:
+        u = ~np.arange(256, dtype=np.int32) & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        _G711_CACHE["mu"] = np.where(sign, -mag, mag).astype(np.int16)
+    return _G711_CACHE["mu"]
+
+
+def _alaw_lut() -> np.ndarray:
+    """G.711 A-law byte -> linear int16 lookup."""
+    if "a" not in _G711_CACHE:
+        a = np.arange(256, dtype=np.int32) ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        mag = np.where(
+            exp > 0, ((mant << 4) + 0x108) << (exp - 1), (mant << 4) + 8
+        )
+        # A-law sign sense is inverted vs mu-law: xored sign bit SET = positive
+        _G711_CACHE["a"] = np.where(sign, mag, -mag).astype(np.int16)
+    return _G711_CACHE["a"]
+
+
 def decode_wav(payload: bytes):
-    """Stdlib WAV PCM decode -> (sample_rate, int16 ndarray (n, channels)),
-    or None for anything that isn't integer-PCM RIFF/WAVE. Walks the RIFF
-    chunks to the 'data' chunk; handles 16-bit signed and 8-bit unsigned."""
+    """Stdlib WAV decode -> (sample_rate, int16 ndarray (n, channels)), or
+    None for formats outside scope. Walks the RIFF chunks to the 'data'
+    chunk; handles integer PCM (16-bit signed / 8-bit unsigned) and G.711
+    A-law / mu-law companded telephony audio (format tags 6/7, LUT
+    expansion to linear int16)."""
     fmt = _parse_wav_fmt(payload)
     if fmt is None:
         return None
     audio_format, n_channels, sample_rate, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
+    if audio_format == 1 and bits in (8, 16):
+        pass
+    elif audio_format in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        pass
+    else:
         return None
     loc = _find_riff_chunk(payload, b"data")
     if loc is None:
         return None
     data = payload[loc[0] : loc[0] + loc[1]]
+    if audio_format in (6, 7):
+        lut = _alaw_lut() if audio_format == 6 else _mulaw_lut()
+        samples = lut[np.frombuffer(data, dtype=np.uint8)]
+        n = (len(samples) // n_channels) * n_channels
+        return sample_rate, samples[:n].reshape(-1, n_channels)
     if bits == 16:
         samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
     else:

@@ -779,3 +779,70 @@ def test_jpeg_gif_property_roundtrip():
         assert g is not None and (g == pal[idx]).all()
 
     check()
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """G.711 companded WAV (format tags 7/6) expands to linear int16 via
+    the standard LUTs — anchored to known byte values and sign-symmetric."""
+    import struct
+
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        _alaw_lut,
+        _mulaw_lut,
+        decode_wav,
+    )
+
+    mu, al = _mulaw_lut(), _alaw_lut()
+    assert mu[0xFF] == 0 and mu[0x00] == -32124 and mu[0x80] == 32124
+    assert al[0x55] == -8 and al[0xD5] == 8 and al[0x2A] == -32256
+    assert (mu[np.arange(128)] == -mu[np.arange(128) + 128]).all()
+    assert (al[np.arange(128)] == -al[np.arange(128) + 128]).all()
+
+    def wav(fmt_tag, data):
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    payload = bytes(range(256))
+    rate, dec = decode_wav(wav(7, payload))
+    assert rate == 8000 and (dec[:, 0] == mu[np.arange(256)]).all()
+    rate, dec = decode_wav(wav(6, payload))
+    assert (dec[:, 0] == al[np.arange(256)]).all()
+    assert decode_wav(wav(3, payload)) is None  # IEEE float: out of scope
+
+
+def test_star_contraction_random_graph_differential(spark):
+    """Randomized differential: on seeded Erdos-Renyi-ish graphs the
+    large-star/small-star fallback and min-label propagation produce
+    identical labelings (propagation ground truth via generous max_iter)."""
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.cluster import (
+        connected_components,
+    )
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n = 60
+        m = 45  # below the connectivity threshold: many components
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (m, 2))
+            if a != b
+        ]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        prop = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(nodes, pairs, max_iter=30).collect()
+        }
+        stars = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(nodes, pairs, max_iter=0).collect()
+        }
+        assert prop == stars, f"seed {seed} diverged"
