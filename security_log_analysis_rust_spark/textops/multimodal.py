@@ -306,9 +306,10 @@ def _alaw_lut() -> np.ndarray:
 def decode_wav(payload: bytes):
     """Stdlib WAV decode -> (sample_rate, int16 ndarray (n, channels)), or
     None for formats outside scope. Walks the RIFF chunks to the 'data'
-    chunk; handles integer PCM (16-bit signed / 8-bit unsigned) and G.711
+    chunk; handles integer PCM (16-bit signed / 8-bit unsigned), G.711
     A-law / mu-law companded telephony audio (format tags 6/7, LUT
-    expansion to linear int16)."""
+    expansion to linear int16), and IEEE float32 (tag 3, scaled and
+    clipped to int16)."""
     fmt = _parse_wav_fmt(payload)
     if fmt is None:
         return None
@@ -316,6 +317,8 @@ def decode_wav(payload: bytes):
     if audio_format == 1 and bits in (8, 16):
         pass
     elif audio_format in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        pass
+    elif audio_format == 3 and bits == 32:  # IEEE float
         pass
     else:
         return None
@@ -326,6 +329,13 @@ def decode_wav(payload: bytes):
     if audio_format in (6, 7):
         lut = _alaw_lut() if audio_format == 6 else _mulaw_lut()
         samples = lut[np.frombuffer(data, dtype=np.uint8)]
+        n = (len(samples) // n_channels) * n_channels
+        return sample_rate, samples[:n].reshape(-1, n_channels)
+    if audio_format == 3:
+        f = np.frombuffer(data[: len(data) - (len(data) % 4)], dtype="<f4")
+        samples = np.clip(
+            np.round(f.astype(np.float64) * 32767.0), -32768, 32767
+        ).astype(np.int16)
         n = (len(samples) // n_channels) * n_channels
         return sample_rate, samples[:n].reshape(-1, n_channels)
     if bits == 16:

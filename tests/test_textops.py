@@ -813,7 +813,22 @@ def test_wav_g711_mulaw_alaw_decode():
     assert rate == 8000 and (dec[:, 0] == mu[np.arange(256)]).all()
     rate, dec = decode_wav(wav(6, payload))
     assert (dec[:, 0] == al[np.arange(256)]).all()
-    assert decode_wav(wav(3, payload)) is None  # IEEE float: out of scope
+    # IEEE float32 (tag 3): scaled + clipped to int16
+    import struct as _st
+
+    floats = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0], dtype="<f4")
+
+    def wavf(data):
+        fmt = _st.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+        body = (
+            b"WAVE" + b"fmt " + _st.pack("<I", 16) + fmt
+            + b"data" + _st.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _st.pack("<I", len(body)) + body
+
+    rate, dec = decode_wav(wavf(floats.tobytes()))
+    assert list(dec[:, 0]) == [0, 16384, -16384, 32767, -32767, 32767]
+    assert decode_wav(wav(2, payload)) is None  # ADPCM: out of scope
 
 
 def test_star_contraction_random_graph_differential(spark):
