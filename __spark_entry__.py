@@ -595,6 +595,42 @@ def q_docs_training_corpus(spark, sf_dir):
     )
 
 
+def q_corpus_vocab_topk(spark, sf_dir):
+    """Corpus-wide vocabulary head: the 100 most frequent whitespace tokens
+    with counts — the first statistic a tokenizer-training run computes.
+    One explode + hash aggregate (map-side combining), deterministic order
+    (count desc, token asc)."""
+    toks = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    return (
+        _spread_small_input(_docs(spark, sf_dir))
+        .select(toks)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+def q_docs_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (98/1/1): the
+    reproducible split every dataset build needs — a doc's split depends
+    only on its id (stable across runs, machines, and re-shards), via an
+    md5-derived uniform bucket in [0, 10000). No sampling state, no
+    ordering dependence; at 100 TB this is a pure map."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit(":split"))), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(bucket < 9800, "train")
+        .when(bucket < 9900, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def q_corpus_source_stats(spark, sf_dir):
     """Per-source corpus accounting (the dataset-card numbers): doc count,
     char volume, mean/min/max doc length per source shard."""
@@ -938,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": q_docs_repetition,
         "docs_contamination": q_docs_contamination,
         "docs_training_corpus": q_docs_training_corpus,
+        "docs_split": q_docs_split,
+        "corpus_vocab_topk": q_corpus_vocab_topk,
         "corpus_source_stats": q_corpus_source_stats,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
         "docs_minhash_lsh": q_docs_minhash_lsh,
@@ -1577,6 +1615,19 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) / "
             "CAST(count(*) AS DOUBLE), 6) AS shared_frac "
             "FROM shing s JOIN freq f ON s.sh = f.sh GROUP BY s.doc_id"
+        ),
+        "corpus_vocab_topk": (
+            r"SELECT tok, count(*) AS cnt FROM (SELECT unnest("
+            r"string_split_regex(lower(trim(text)), '\s+')) AS tok "
+            "FROM documents) GROUP BY tok "
+            "ORDER BY cnt DESC, tok ASC LIMIT 100"
+        ),
+        "docs_split": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(doc_id::varchar || ':split'), 1, 8))"
+            "::BIGINT AS BIGINT) % 10000 AS bucket FROM documents) "
+            "SELECT doc_id, CASE WHEN bucket < 9800 THEN 'train' "
+            "WHEN bucket < 9900 THEN 'val' ELSE 'test' END AS split FROM b"
         ),
         "corpus_source_stats": (
             "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "

@@ -13,6 +13,7 @@ Decode support (all stdlib — no codec library in this container):
   image format.
 * **GIF**: 87a/89a first-frame decode (variable-width LZW, palettes,
   interlace, transparency) in :mod:`.gif`.
+* **BMP**: uncompressed 24/32-bit (:func:`decode_bmp`).
 * **WAV**: PCM sample decode for 8/16-bit integer formats
   (:func:`decode_wav`).
 * anything else falls back to the deterministic fake decoder, keeping the
@@ -88,6 +89,8 @@ def _decode_image_real(payload: bytes):
         from .gif import decode_gif
 
         pixels = decode_gif(payload)
+    if pixels is None:
+        pixels = decode_bmp(payload)
     return pixels
 
 
@@ -156,6 +159,43 @@ def parse_wav_header(payload: bytes):
     if fmt is None:
         return None
     return fmt[1], fmt[2], fmt[3]
+
+
+def parse_bmp_header(payload: bytes):
+    """-> (width, height, n_channels) for an uncompressed 24/32-bit BMP."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bits = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if width <= 0 or height == 0 or compression != 0 or bits not in (24, 32):
+        return None
+    return width, abs(height), 3 if bits == 24 else 4
+
+
+def decode_bmp(payload: bytes):
+    """Uncompressed 24/32-bit BMP -> uint8 ndarray (h, w, c), RGB(A) order.
+
+    Rows are 4-byte aligned and stored bottom-up unless height is negative
+    (top-down); channel order in the file is BGR(A)."""
+    hdr = parse_bmp_header(payload)
+    if hdr is None:
+        return None
+    width, height, channels = hdr
+    raw_height = int.from_bytes(payload[22:26], "little", signed=True)
+    offset = int.from_bytes(payload[10:14], "little")
+    stride = (width * channels + 3) & ~3  # 4-byte row alignment
+    if offset + stride * height > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, : width * channels]
+    img = rows.reshape(height, width, channels)
+    if raw_height > 0:  # bottom-up storage
+        img = img[::-1]
+    # BGR(A) -> RGB(A)
+    return np.ascontiguousarray(img[:, :, [2, 1, 0] + ([3] if channels == 4 else [])])
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -407,6 +447,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                             parse_png_header(payload)
                             or parse_jpeg_header(payload)
                             or parse_gif_header(payload)
+                            or parse_bmp_header(payload)
                         )
                         if hdr is not None:  # header-only (palette/progressive)
                             w, h, c = hdr

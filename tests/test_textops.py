@@ -861,3 +861,50 @@ def test_star_contraction_random_graph_differential(spark):
             for r in connected_components(nodes, pairs, max_iter=0).collect()
         }
         assert prop == stars, f"seed {seed} diverged"
+
+
+def test_bmp_roundtrip():
+    """BMP decoder: 24-bit bottom-up, 32-bit, top-down, and row padding all
+    reproduce exact pixels from a hand-built spec-valid file."""
+    import struct
+
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        decode_bmp,
+        parse_bmp_header,
+    )
+
+    def encode_bmp(rgb, bits=24, topdown=False):
+        h, w, _ = rgb.shape
+        ch = bits // 8
+        stride = (w * ch + 3) & ~3
+        rows = bytearray()
+        order = range(h) if topdown else range(h - 1, -1, -1)
+        for y in order:
+            row = bytearray()
+            for x in range(w):
+                r, g, b = rgb[y, x]
+                row += bytes([b, g, r] + ([255] if ch == 4 else []))
+            row += b"\x00" * (stride - len(row))
+            rows += row
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if topdown else h), 1, bits, 0,
+            len(rows), 2835, 2835, 0, 0,
+        )
+        off = 14 + len(dib)
+        head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        return head + dib + bytes(rows)
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width: padding
+    for bits in (24, 32):
+        for topdown in (False, True):
+            payload = encode_bmp(rgb, bits=bits, topdown=topdown)
+            assert parse_bmp_header(payload)[:2] == (7, 5)
+            d = decode_bmp(payload)
+            assert d is not None and (d[:, :, :3] == rgb).all()
+            if bits == 32:
+                assert (d[:, :, 3] == 255).all()
+    assert decode_bmp(b"BMnotvalid") is None
+    assert decode_bmp(b"\x00" * 60) is None
