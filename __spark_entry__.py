@@ -595,6 +595,36 @@ def q_docs_training_corpus(spark, sf_dir):
     )
 
 
+#: unanchored IPv4 for in-text scrubbing — a regex subset Java regex
+#: (Spark) and RE2 (DuckDB) interpret identically (incl. \b)
+_IPV4_INLINE = (
+    r"\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+_USER_INLINE = r"Invalid user \S+"
+
+
+def q_pages_pii_scrub(spark, sf_dir):
+    """PII redaction over the raw pages (a standard pre-training scrub
+    pass): count and replace embedded IPv4 addresses and 'Invalid user
+    <name>' tokens, emitting per-page match counts plus the md5 of the
+    scrubbed text (so the oracle certifies the REPLACEMENT bytes, not just
+    the counts). Pure JVM regexp expressions — a map-only stage at any
+    scale."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, _IPV4_INLINE, "<IP>"),
+        _USER_INLINE,
+        "Invalid user <USER>",
+    )
+    return _pages(spark, sf_dir).select(
+        "url",
+        F.size(F.regexp_extract_all(text, F.lit(_IPV4_INLINE), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(text, F.lit(_USER_INLINE), 0)).alias("n_users"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
 def q_corpus_vocab_topk(spark, sf_dir):
     """Corpus-wide vocabulary head: the 100 most frequent whitespace tokens
     with counts — the first statistic a tokenizer-training run computes.
@@ -975,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_contamination": q_docs_contamination,
         "docs_training_corpus": q_docs_training_corpus,
         "docs_split": q_docs_split,
+        "pages_pii_scrub": q_pages_pii_scrub,
         "corpus_vocab_topk": q_corpus_vocab_topk,
         "corpus_source_stats": q_corpus_source_stats,
         "docs_jaccard_pairs": q_docs_jaccard_pairs,
@@ -1615,6 +1646,15 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) / "
             "CAST(count(*) AS DOUBLE), 6) AS shared_frac "
             "FROM shing s JOIN freq f ON s.sh = f.sh GROUP BY s.doc_id"
+        ),
+        "pages_pii_scrub": P(
+            "SELECT url, "
+            f"CAST(len(regexp_extract_all(coalesce(text, ''), '{_IPV4_INLINE}')) AS INT) AS n_ipv4, "
+            f"CAST(len(regexp_extract_all(coalesce(text, ''), '{_USER_INLINE}')) AS INT) AS n_users, "
+            "md5(regexp_replace(regexp_replace(coalesce(text, ''), "
+            f"'{_IPV4_INLINE}', '<IP>', 'g'), "
+            f"'{_USER_INLINE}', 'Invalid user <USER>', 'g')) AS scrub_md5 "
+            "FROM pages"
         ),
         "corpus_vocab_topk": (
             r"SELECT tok, count(*) AS cnt FROM (SELECT unnest("
