@@ -98,15 +98,26 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-#: corpus-size cache for the auto-sized ANN queries: the three auto paths
-#: share one count job per sf_dir instead of re-counting per query.
+#: corpus-size cache for the auto-sized ANN queries: the auto paths share
+#: one count job per sf_dir instead of re-counting per query. Keyed by
+#: (path, mtime, size) so an in-process regeneration of embeddings.parquet
+#: at the same path invalidates the entry instead of silently sizing n_bits
+#: from a stale count while the SQL oracle counts live.
 _EMB_COUNT_CACHE: dict = {}
 
 
 def _emb_count(spark, sf_dir) -> int:
-    if sf_dir not in _EMB_COUNT_CACHE:
-        _EMB_COUNT_CACHE[sf_dir] = _emb(spark, sf_dir).count()
-    return _EMB_COUNT_CACHE[sf_dir]
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    if key not in _EMB_COUNT_CACHE:
+        for stale in [k for k in _EMB_COUNT_CACHE if k[0] == path]:
+            del _EMB_COUNT_CACHE[stale]
+        _EMB_COUNT_CACHE[key] = _emb(spark, sf_dir).count()
+    return _EMB_COUNT_CACHE[key]
 
 
 # --- document text helpers (Spark side) ------------------------------------
@@ -801,13 +812,27 @@ def q_docs_dedup_kept(spark, sf_dir):
 
 
 def q_emb_top1(spark, sf_dir):
-    """Brute-force cosine top-1 neighbor per vector (ANN baseline).
+    """Top-1 cosine neighbor per vector on the SCALE path: auto-sized LSH
+    with k=1 (bucketed candidates, per-bucket kernel, no corpus-sized
+    broadcast) — the plan you'd run at 100x. The exact all-pairs baseline
+    it approximates is kept beside it as ``emb_top1_exact``."""
+    from security_log_analysis_rust_spark.textops.ann import lsh_topk
+
+    return lsh_topk(
+        _emb(spark, sf_dir), k=1, n_bits=None, n_tables=ANN_TABLES,
+        target_bucket=ANN_AUTO_TARGET, bank_bits=ANN_MAX_BITS,
+        n_vectors=_emb_count(spark, sf_dir), dim=EMB_DIM,
+    ).select("vec_id", "neighbor_id", "sim")
+
+
+def q_emb_top1_exact(spark, sf_dir):
+    """Brute-force cosine top-1 neighbor per vector (exact ANN baseline).
 
     The broadcast of the candidate side is intrinsic to an exact all-pairs
     baseline (every probe must see every candidate; the only other physical
     strategy is a cartesian shuffle, which is strictly worse) — it is NOT
-    the scale path. The scale path is ``emb_topk_lsh`` (bucketed candidates,
-    per-bucket kernel, no corpus-sized broadcast)."""
+    the scale path; it exists as the recall yardstick for ``emb_top1`` and
+    the top-k LSH/IVF paths."""
     emb = _emb(spark, sf_dir)
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", vec.alias("v"))
@@ -918,46 +943,46 @@ NEAR_DUP_SIM = 0.35
 
 
 def q_emb_near_dups(spark, sf_dir):
+    """Embedding near-dup pairs, BOTH configurations in one result: the
+    pinned-bit demo and the auto-sized (corpus-derived bit count) scale
+    path, labeled by a ``variant`` column. One query certifies both code
+    paths — the driver's correctness artifact caps at 50 rows, so the
+    pinned/auto twins share a row instead of losing one (r4 shipped 51
+    registered queries and the 51st silently had no row)."""
     from security_log_analysis_rust_spark.textops.ann import lsh_near_dups
 
-    return lsh_near_dups(
-        _emb(spark, sf_dir), threshold=NEAR_DUP_SIM,
+    emb = _emb(spark, sf_dir)
+    pinned = lsh_near_dups(
+        emb, threshold=NEAR_DUP_SIM,
         n_bits=ANN_BITS, n_tables=ANN_TABLES, dim=EMB_DIM,
-    )
-
-
-def q_emb_near_dups_auto(spark, sf_dir):
-    """The dedup flavor at the configuration you'd run at scale: bit count
-    derived from the corpus (same plane bank + target as emb_topk_lsh_auto,
-    oracle derives the identical count)."""
-    from security_log_analysis_rust_spark.textops.ann import lsh_near_dups
-
-    return lsh_near_dups(
-        _emb(spark, sf_dir), threshold=NEAR_DUP_SIM, n_bits=None,
+    ).select(F.lit("pinned").alias("variant"), "a_id", "b_id", "sim")
+    auto = lsh_near_dups(
+        emb, threshold=NEAR_DUP_SIM, n_bits=None,
         n_tables=ANN_TABLES, target_bucket=ANN_AUTO_TARGET,
         bank_bits=ANN_MAX_BITS,
         n_vectors=_emb_count(spark, sf_dir), dim=EMB_DIM,
-    )
+    ).select(F.lit("auto").alias("variant"), "a_id", "b_id", "sim")
+    return pinned.unionAll(auto)
 
 
 def q_emb_topk_ivf(spark, sf_dir):
+    """IVF top-k, BOTH configurations in one result (``variant`` column):
+    the pinned 16-centroid demo and the auto-sized scale path (list count
+    ~sqrt(N), textops.ann.auto_n_centroids — resolves to 32 at 500 vectors
+    vs the pinned 16; the oracle derives the identical count from the
+    corpus). Merged for the same 50-row driver-cap reason as
+    ``q_emb_near_dups``."""
     from security_log_analysis_rust_spark.textops.ann import ivf_topk
 
-    return ivf_topk(
-        _emb(spark, sf_dir), k=ANN_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
-    )
-
-
-def q_emb_topk_ivf_auto(spark, sf_dir):
-    """IVF at the configuration you'd run at scale: list count ~sqrt(N)
-    (textops.ann.auto_n_centroids — resolves to 32 at 500 vectors vs the
-    pinned 16); the oracle derives the identical count from the corpus."""
-    from security_log_analysis_rust_spark.textops.ann import ivf_topk
-
-    return ivf_topk(
-        _emb(spark, sf_dir), k=ANN_K, n_centroids=None, n_probe=IVF_PROBE,
+    emb = _emb(spark, sf_dir)
+    pinned = ivf_topk(
+        emb, k=ANN_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    ).select(F.lit("pinned").alias("variant"), "vec_id", "neighbor_id", "rank", "sim")
+    auto = ivf_topk(
+        emb, k=ANN_K, n_centroids=None, n_probe=IVF_PROBE,
         n_vectors=_emb_count(spark, sf_dir),
-    )
+    ).select(F.lit("auto").alias("variant"), "vec_id", "neighbor_id", "rank", "sim")
+    return pinned.unionAll(auto)
 
 
 # --------------------------------------------------------------------------
@@ -969,7 +994,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_per_country(spark, "/root/testdata/sf0.001")
 
 
+#: the driver's correctness artifact records at most this many rows: r4
+#: registered 51 queries and CORRECTNESS_r04.json carried exactly 50 rows,
+#: with the 51st-indexed query (emb_near_dups_auto) absent — not failed,
+#: absent. Registering past the cap silently un-tests the tail, so
+#: queries() asserts the bound (pinned/auto ANN twins are merged under a
+#: `variant` column instead of holding separate slots).
+DRIVER_QUERY_CAP = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _queries_dict()
+    assert len(q) <= DRIVER_QUERY_CAP, (
+        f"{len(q)} queries registered but the driver records only "
+        f"{DRIVER_QUERY_CAP} correctness rows — merge or drop before adding"
+    )
+    return q
+
+
+def _queries_dict() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ssh_events": q_ssh_events,
         "apache_events": q_apache_events,
@@ -1013,15 +1056,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": q_docs_dup_clusters,
         "docs_dedup_kept": q_docs_dedup_kept,
         "emb_top1": q_emb_top1,
+        "emb_top1_exact": q_emb_top1_exact,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_dups": q_docs_simhash_dups,
         "emb_topk_bruteforce": q_emb_topk_bruteforce,
         "emb_topk_lsh": q_emb_topk_lsh,
         "emb_topk_lsh_auto": q_emb_topk_lsh_auto,
         "emb_topk_ivf": q_emb_topk_ivf,
-        "emb_topk_ivf_auto": q_emb_topk_ivf_auto,
         "emb_near_dups": q_emb_near_dups,
-        "emb_near_dups_auto": q_emb_near_dups_auto,
     }
 
 
@@ -1356,17 +1398,22 @@ def _lsh_bucket_cte(auto_target: int | None = None) -> str:
     )
 
 
-def _emb_topk_lsh_sql(auto_target: int | None = None) -> str:
+def _emb_topk_lsh_sql(auto_target: int | None = None, k: int = ANN_K,
+                      with_rank: bool = True) -> str:
+    """``k``/``with_rank`` parametrize the top-1 flavor (emb_top1 is the
+    auto-sized LSH path at k=1, rank column dropped to keep the historical
+    top1 shape)."""
+    rank_col = "CAST(rn AS INT) AS rank, " if with_rank else ""
     return _lsh_bucket_cte(auto_target) + (
         ", cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id "
         "FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket "
         "AND a.vec_id != b.vec_id), "
         f"sims AS (SELECT a_id, b_id, {_EMB_SIM} AS sim FROM cand "
         "JOIN v a ON cand.a_id = a.vec_id JOIN v b ON cand.b_id = b.vec_id) "
-        "SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rn AS INT) AS rank, sim "
+        f"SELECT a_id AS vec_id, b_id AS neighbor_id, {rank_col}sim "
         "FROM (SELECT *, row_number() OVER (PARTITION BY a_id "
         "ORDER BY sim DESC, b_id ASC) AS rn FROM sims) t "
-        f"WHERE rn <= {ANN_K}"
+        f"WHERE rn <= {k}"
     )
 
 
@@ -1670,7 +1717,12 @@ def oracle_sql() -> dict[str, str]:
             "WHEN bucket < 9900 THEN 'val' ELSE 'test' END AS split FROM b"
         ),
         "corpus_source_stats": (
-            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+            # CAST the sum: DuckDB sums int32 into HUGEINT, which pandas
+            # materializes as float64 — the driver's value hash then sees
+            # 7949.0 vs Spark's 7949 (reference likewise casts counts to
+            # i64: /root/reference/src/polars_analysis.rs:243-249)
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "round(avg(n_chars), 6) AS avg_chars, min(n_chars) AS min_chars, "
             "max(n_chars) AS max_chars FROM documents GROUP BY source"
         ),
@@ -1695,7 +1747,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM (" + _docs_dup_clusters_sql() + ") t "
             "WHERE cluster_id = doc_id"
         ),
-        "emb_top1": (
+        "emb_top1": _emb_topk_lsh_sql(
+            auto_target=ANN_AUTO_TARGET, k=1, with_rank=False
+        ),
+        "emb_top1_exact": (
             "WITH v AS (SELECT vec_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
             "pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
@@ -1713,8 +1768,17 @@ def oracle_sql() -> dict[str, str]:
         "emb_topk_bruteforce": _emb_topk_bruteforce_sql(),
         "emb_topk_lsh": _emb_topk_lsh_sql(),
         "emb_topk_lsh_auto": _emb_topk_lsh_sql(auto_target=ANN_AUTO_TARGET),
-        "emb_topk_ivf": _emb_topk_ivf_sql(),
-        "emb_topk_ivf_auto": _emb_topk_ivf_sql(auto=True),
-        "emb_near_dups": _emb_near_dups_sql(),
-        "emb_near_dups_auto": _emb_near_dups_sql(auto_target=ANN_AUTO_TARGET),
+        # pinned/auto twins share one query (variant column) so the full
+        # surface fits the driver's 50-row artifact cap — see queries()
+        "emb_topk_ivf": (
+            "SELECT 'pinned' AS variant, * FROM (" + _emb_topk_ivf_sql() + ") "
+            "UNION ALL "
+            "SELECT 'auto' AS variant, * FROM (" + _emb_topk_ivf_sql(auto=True) + ")"
+        ),
+        "emb_near_dups": (
+            "SELECT 'pinned' AS variant, * FROM (" + _emb_near_dups_sql() + ") "
+            "UNION ALL "
+            "SELECT 'auto' AS variant, * FROM ("
+            + _emb_near_dups_sql(auto_target=ANN_AUTO_TARGET) + ")"
+        ),
     }

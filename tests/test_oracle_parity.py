@@ -36,6 +36,45 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, f"{name}: " + "; ".join(p[:500] for p in problems)
 
 
+def test_registry_fits_driver_cap():
+    """r4 regression: the driver records at most 50 correctness rows; the
+    51st registered query (emb_near_dups_auto) silently had NO row. Keep
+    the registry at/below the cap and keep every oracle key paired."""
+    assert len(_QUERIES) <= E.DRIVER_QUERY_CAP
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_comparator_flags_int_vs_float():
+    """r4 regression (corpus_source_stats): DuckDB sum(int32) -> HUGEINT ->
+    pandas float64 hash-mismatched against Spark's int64 in the DRIVER while
+    the local comparator's pandas eq coerced them equal. The comparator must
+    now fail on dtype-kind divergence even when values match numerically."""
+    import pandas as pd
+
+    from util_compare import compare_frames
+
+    s = pd.DataFrame({"g": ["a", "b"], "total": pd.array([7949, 12], dtype="int64")})
+    d = pd.DataFrame({"g": ["a", "b"], "total": pd.array([7949.0, 12.0], dtype="float64")})
+    problems = compare_frames(s, d)
+    assert problems and "dtype-kind" in problems[0]
+    # and identical-kind frames still pass
+    assert not compare_frames(s, s.copy())
+
+
+def test_comparator_flags_prefix_corpus_source_stats_sql(spark, duck):
+    """The exact pre-fix oracle SQL (bare sum(n_chars)) must FAIL locally
+    now — this is the bug that shipped green through local emulation in r4."""
+    old_sql = (
+        "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+        "round(avg(n_chars), 6) AS avg_chars, min(n_chars) AS min_chars, "
+        "max(n_chars) AS max_chars FROM documents GROUP BY source"
+    )
+    problems = run_query_pair(
+        spark, duck, _QUERIES["corpus_source_stats"], old_sql, TESTDATA_SF_ORACLE
+    )
+    assert problems and any("dtype-kind" in p for p in problems)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()

@@ -59,7 +59,8 @@ def test_brute_force_topk_self_consistency(spark, emb):
     import __spark_entry__ as E
 
     top1_expr = {
-        r.vec_id: r.neighbor_id for r in E.q_emb_top1(spark, TESTDATA_SF_ORACLE).collect()
+        r.vec_id: r.neighbor_id
+        for r in E.q_emb_top1_exact(spark, TESTDATA_SF_ORACLE).collect()
     }
     top1_bf = {
         r.vec_id: r.neighbor_id for r in res.filter(F.col("rank") == 1).collect()

@@ -51,6 +51,22 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]
         problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     s = normalize(spark_pdf)
     d = normalize(duck_pdf)
+    # The driver hashes canonical value STRINGS per side, so an int64 7949
+    # vs a float64 7949.0 (e.g. DuckDB sum(int32) -> HUGEINT -> pandas
+    # float64) hash-mismatches even though pandas' elementwise eq coerces
+    # them equal. Mirror that: a dtype-KIND divergence is a failure here
+    # even when every value compares numerically equal. (normalize already
+    # unifies integer widths / tz-awareness, which the driver tolerates.)
+    for c in s.columns:
+        ks, kd = s[c].dtype.kind, d[c].dtype.kind
+        if ks != kd:
+            problems.append(
+                f"dtype-kind: col {c!r} spark={s[c].dtype} duck={d[c].dtype}"
+                " (driver hashes canonical strings; int-vs-float typing"
+                " fails even when values are numerically equal)"
+            )
+    if problems:
+        return problems
     if len(s) == len(d):
         neq = ~(s.eq(d) | (s.isna() & d.isna()))
         if neq.any().any():
