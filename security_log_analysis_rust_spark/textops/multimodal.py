@@ -474,14 +474,33 @@ AUDIO_SCHEMA = StructType(
 )
 
 
+def _mp3_bitrate_features(frame_bitrates: list) -> np.ndarray:
+    """N_FEATURES-dim VBR profile: mean frame bitrate over equal frame
+    windows, normalized by the 320 kbps format ceiling — the honest
+    header-derived stand-in for RMS when no PCM is synthesized."""
+    br = np.asarray(frame_bitrates, dtype=np.float64)
+    bounds = np.linspace(0, len(br), N_FEATURES + 1).astype(int)
+    feats = [
+        float(br[a:b].mean()) / 320.0 if b > a else 0.0
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
 def decode_audio(media: DataFrame) -> DataFrame:
     """audio binary payloads -> PCM metadata + windowed-RMS features.
 
-    Real WAV decode (:func:`decode_wav`); non-WAV payloads report
-    'corrupt'. Features: RMS amplitude over N_FEATURES equal time windows
-    of the channel-mean signal, normalized to [0, 1]."""
+    Real WAV decode (:func:`decode_wav`). MPEG audio (MP3) routes through
+    the frame-header walk (:func:`.mp3.parse_mp3`) — no PCM synthesis, so
+    those rows report ``ok='headers'`` with real sample_rate / channel /
+    sample counts and a bitrate-profile feature vector instead of RMS.
+    Everything else reports 'corrupt'. WAV features: RMS amplitude over
+    N_FEATURES equal time windows of the channel-mean signal, normalized
+    to [0, 1]."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import parse_mp3
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -490,6 +509,19 @@ def decode_audio(media: DataFrame) -> DataFrame:
                     continue
                 decoded = decode_wav(bytes(payload))
                 if decoded is None:
+                    info = parse_mp3(bytes(payload))
+                    if info is not None:
+                        rows.append(
+                            (
+                                mid,
+                                int(info.sample_rate),
+                                int(info.n_channels),
+                                int(info.n_samples),
+                                "headers",
+                                _mp3_bitrate_features(info.frame_bitrates).tolist(),
+                            )
+                        )
+                        continue
                     rows.append((mid, None, None, None, "corrupt", None))
                     continue
                 rate, samples = decoded

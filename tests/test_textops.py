@@ -909,3 +909,203 @@ def test_bmp_roundtrip():
                 assert (d[:, :, 3] == 255).all()
     assert decode_bmp(b"BMnotvalid") is None
     assert decode_bmp(b"\x00" * 60) is None
+
+
+# --- MP3 frame-header walk --------------------------------------------------
+
+_MP3_SR_IDX = {3: {44100: 0, 48000: 1, 32000: 2},
+               2: {22050: 0, 24000: 1, 16000: 2},
+               0: {11025: 0, 12000: 1, 8000: 2}}
+
+
+def _mp3_frame(kbps, sr=44100, version_bits=3, layer=3, padding=0, mono=False):
+    """One spec-shaped MPEG audio frame: valid 4-byte header + zero fill to
+    the computed frame length (content bytes are irrelevant to the walk)."""
+    from security_log_analysis_rust_spark.textops.mp3 import _BITRATES
+
+    vgroup = 0 if version_bits == 3 else 1
+    br_idx = _BITRATES[(vgroup, layer)].index(kbps)
+    b1 = 0xE0 | (version_bits << 3) | ((4 - layer) << 1) | 1
+    b2 = (br_idx << 4) | (_MP3_SR_IDX[version_bits][sr] << 2) | (padding << 1)
+    b3 = (3 << 6) if mono else 0
+    if layer == 1:
+        spf, flen = 384, (12 * kbps * 1000 // sr + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 0) else 576
+        flen = spf // 8 * kbps * 1000 // sr + padding
+    return bytes([0xFF, b1, b2, b3]) + b"\x00" * (flen - 4), spf
+
+
+def test_mp3_header_walk_cbr():
+    from security_log_analysis_rust_spark.textops.mp3 import parse_mp3
+
+    frame, spf = _mp3_frame(128)
+    # ID3v2 prefix (syncsafe size) + 10 frames + ID3v1 trailer
+    id3_body = b"\x00" * 300
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 300 >> 7, 300 & 0x7F]) + id3_body
+    payload = id3 + frame * 10 + b"TAG" + b"\x00" * 125
+    info = parse_mp3(payload)
+    assert info is not None
+    assert (info.version, info.layer) == ("MPEG1", 3)
+    assert (info.sample_rate, info.n_channels) == (44100, 2)
+    assert info.n_frames == 10 and info.n_samples == 10 * spf
+    assert abs(info.duration_s - 10 * spf / 44100) < 1e-9
+    assert not info.vbr
+    # frame-length-weighted mean bitrate is within a slot of nominal
+    assert abs(info.bitrate_kbps - 128) < 2
+    # truncated final frame is dropped, walked prefix kept
+    assert parse_mp3(frame * 3 + frame[:50]).n_frames == 3
+
+
+def test_mp3_vbr_padding_and_mpeg2():
+    from security_log_analysis_rust_spark.textops.mp3 import parse_mp3
+
+    f128, _ = _mp3_frame(128)
+    f192p, _ = _mp3_frame(192, padding=1)
+    info = parse_mp3(f128 + f192p + f128 + f192p)
+    assert info is not None and info.vbr
+    assert info.frame_bitrates == [128, 192, 128, 192]
+    # MPEG-2 Layer III: 576 samples/frame, mono, 22050 Hz
+    f2, spf2 = _mp3_frame(64, sr=22050, version_bits=2, mono=True)
+    assert spf2 == 576
+    info2 = parse_mp3(f2 * 5)
+    assert (info2.version, info2.sample_rate, info2.n_channels) == ("MPEG2", 22050, 1)
+    assert info2.n_samples == 5 * 576
+    # Layer II MPEG-1: 1152 samples/frame
+    fl2, spfl2 = _mp3_frame(192, layer=2)
+    assert spfl2 == 1152 and parse_mp3(fl2 * 2).layer == 2
+
+
+def test_mp3_rejects_non_mp3():
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.mp3 import parse_mp3
+
+    rng = np.random.default_rng(7)
+    assert parse_mp3(bytes(rng.integers(0, 255, 4096, dtype=np.uint8))) is None
+    frame, _ = _mp3_frame(128)
+    assert parse_mp3(frame) is None  # single frame: below _MIN_FRAMES
+    assert parse_mp3(b"") is None
+    # false-positive sync whose next "frame" disagrees on version/rate
+    other, _ = _mp3_frame(64, sr=22050, version_bits=2)
+    assert parse_mp3(frame + other) is None
+    # junk before the first sync word is scanned past
+    assert parse_mp3(b"\x01\x02\x03junkjunk" + frame * 2) is not None
+
+
+def test_decode_audio_routes_mp3(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        N_FEATURES,
+        decode_audio,
+    )
+
+    frame, spf = _mp3_frame(128)
+    mp3_payload = frame * 32
+    import numpy as np
+    import struct
+
+    # minimal valid 16-bit PCM WAV
+    samples = np.arange(-100, 100, dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav"),
+         (2, "audio", bytearray(mp3_payload), "audio/mpeg"),
+         (3, "audio", bytearray(b"not audio at all, just text bytes"), "audio/x-junk")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert rows[1].ok == "ok" and rows[1].sample_rate == 8000
+    assert rows[2].ok == "headers"
+    assert rows[2].sample_rate == 44100 and rows[2].n_channels == 2
+    assert rows[2].n_samples == 32 * spf
+    assert len(rows[2].features) == N_FEATURES
+    assert all(abs(f - 128.0 / 320.0) < 1e-6 for f in rows[2].features)
+    assert rows[3].ok == "corrupt"
+
+
+def test_star_contraction_ring_and_path_10k(spark):
+    """Adversarial-scale stress for the contraction fallback: a 10^4-node
+    RING (diameter n/2, worst case for propagation) plus a 10^4-node path,
+    resolved entirely through the star-contraction path (max_iter=0)."""
+    from security_log_analysis_rust_spark.textops.cluster import (
+        connected_components,
+    )
+
+    n = 10_000
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    path = [(n + i, n + i + 1) for i in range(n - 1)]
+    nodes = spark.range(2 * n).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(ring + path, "a_id long, b_id long")
+    cc = connected_components(nodes, pairs, max_iter=0)
+    counts = {r.cluster_id: r.cnt for r in
+              cc.groupBy("cluster_id").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {0: n, n: n}
+
+
+def test_star_contraction_random_graph_matches_union_find(spark):
+    """Property-style differential: seeded sparse random graphs vs a plain
+    Python union-find ground truth, through the contraction path only."""
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.cluster import (
+        connected_components,
+    )
+
+    for seed in (1, 2):
+        rng = np.random.default_rng(seed)
+        n = 300
+        m = 260  # below the connectivity threshold: many nontrivial comps
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, (m, 2))
+            if a != b
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {i: find(i) for i in range(n)}
+        nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(nodes, pairs, max_iter=0).collect()
+        }
+        assert got == truth, f"seed {seed}: contraction disagrees with union-find"
+
+
+def test_dup_clusters_oracle_parity_through_contraction(spark):
+    """Force the real docs_dup_clusters workload (minhash-LSH pair graph at
+    sf0.01) through the contraction fallback (max_iter=1: one propagation
+    round, then stars) and certify it against the same recursive-CTE DuckDB
+    oracle the driver uses for the propagation path."""
+    import __spark_entry__ as E
+    from security_log_analysis_rust_spark.textops.cluster import (
+        connected_components,
+    )
+    from util_compare import compare_frames, duck_connection
+
+    pairs = E.q_docs_minhash_lsh(spark, TESTDATA_SF_ORACLE)
+    docs = E._docs(spark, TESTDATA_SF_ORACLE).select("doc_id")
+    cc = connected_components(docs, pairs, max_iter=1)
+    con = duck_connection(TESTDATA_SF_ORACLE)
+    try:
+        oracle = con.sql(E.oracle_sql()["docs_dup_clusters"]).df()
+    finally:
+        con.close()
+    problems = compare_frames(cc.toPandas(), oracle)
+    assert not problems, "; ".join(p[:400] for p in problems)
