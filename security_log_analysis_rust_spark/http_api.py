@@ -369,6 +369,15 @@ class SecurityLogApp:
         table-format row DELETE, and the only plan that survives a 100 TB
         sink (one row deleted = one file rewritten, not one sink)."""
         import glob
+        from urllib.parse import unquote, urlparse
+
+        # sweep temp dirs stranded by a crash mid-swap in an earlier call:
+        # they are invisible to Spark (dot prefix) but would collide with
+        # the next rewrite of the same part-file
+        root = self._systemd_path()
+        for stale in glob.glob(os.path.join(root, "**", ".*.cow"), recursive=True):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
 
         df = self._systemd()
         hit_files = [
@@ -380,7 +389,9 @@ class SecurityLogApp:
         ]
         n = 0
         for uri in hit_files:
-            fpath = re.sub(r"^file:(//)?", "", uri)
+            # input_file_name() returns a percent-encoded file: URI — paths
+            # with spaces/UTF-8 must be unquoted or os.replace misses
+            fpath = unquote(urlparse(uri).path) if uri.startswith("file:") else uri
             one = self.spark.read.parquet(fpath)
             keep = one.filter(F.col("id") != msg_id).persist()
             kept = keep.count()

@@ -88,7 +88,13 @@ def to_systemd_log_messages(systemd: DataFrame) -> DataFrame:
 
 def read_sink(spark: SparkSession, path: str, schema) -> DataFrame:
     """Read a parquet sink table projected to ``schema``'s columns (drops the
-    physical partition column); empty DataFrame if it doesn't exist yet."""
+    physical partition column); empty DataFrame if it doesn't exist yet.
+
+    Runs :func:`recover_sink` first: a crash between the two renames of
+    :func:`_swap_dir` leaves the live dir absent with its ``_old.`` aside
+    holding the data — without this, a pure read path would see "no sink"
+    until some write-path entry point happened to repair it."""
+    recover_sink(path)
     if os.path.exists(path):
         return spark.read.parquet(path).select(*[f.name for f in schema.fields])
     return spark.createDataFrame([], schema)

@@ -371,3 +371,23 @@ def test_recover_sink_crash_states(spark, tmp_path_factory, pages_dir):
     with pytest.raises(RuntimeError, match="refusing"):
         recover_sink(intr_path)
     os.rename(intr_path + ".tmp", intr_path)
+
+
+def test_read_sink_self_heals_after_crash(spark, tmp_path_factory, pages_dir):
+    """ADVICE r4: a PURE READ after a crash mid-swap must see the data —
+    read_sink runs recover_sink itself instead of waiting for a write-path
+    entry point to repair the sink."""
+    import os
+
+    from security_log_analysis_rust_spark.pipeline.route import read_sink
+    from security_log_analysis_rust_spark.schemas import INTRUSION_LOG_SCHEMA
+
+    sink = str(tmp_path_factory.mktemp("readheal"))
+    run_incremental(spark, pages_dir, sink, files_per_split=4)
+    intr_path = os.path.join(sink, "intrusion_log")
+    n = spark.read.parquet(intr_path).count()
+    # crash window: live dir renamed aside, replacement never moved in
+    os.rename(intr_path, os.path.join(sink, "_old.intrusion_log"))
+    got = read_sink(spark, intr_path, INTRUSION_LOG_SCHEMA)
+    assert got.count() == n
+    assert os.path.isdir(intr_path)

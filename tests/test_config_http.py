@@ -373,3 +373,34 @@ def test_delete_rewrites_only_affected_files(served_app, spark):
     untouched_a = {k: v for k, v in after.items() if k != vrel}
     assert untouched_b == untouched_a, "unrelated sink files were rewritten"
     assert before[vrel] != after.get(vrel)
+
+
+def test_delete_handles_spaced_paths_and_sweeps_stale_cow(spark, tmp_path):
+    """input_file_name() returns a percent-encoded file: URI; a sink path
+    with spaces must still resolve to the on-disk part-file. A temp dir
+    stranded by a crash mid-swap is swept at the next delete call."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path / "sink dir with spaces")
+    sysd = os.path.join(sink, "systemd_log_messages")
+    rows = [(f"id-{i}", f"msg {i}") for i in range(6)]
+    spark.createDataFrame(rows, "id string, log_message string").repartition(
+        2
+    ).write.parquet(sysd)
+    app = SecurityLogApp(spark, sink, str(tmp_path / "dims"))
+    # stranded temp dir from a hypothetical earlier crash
+    part = _glob.glob(os.path.join(sysd, "part-*.parquet"))[0]
+    stale = os.path.join(sysd, "." + os.path.basename(part) + ".cow")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "leftover"), "w") as fh:
+        fh.write("x")
+
+    assert app.delete_log_message("id-3") == 1
+    remaining = app._systemd()
+    assert remaining.count() == 5
+    assert remaining.filter(F.col("id") == "id-3").count() == 0
+    assert not os.path.exists(stale), "stale .cow dir must be swept"
+    assert not _glob.glob(os.path.join(sysd, "**", ".*.cow"), recursive=True)

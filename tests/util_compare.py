@@ -29,7 +29,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = dt.astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].where(pd.notna(df[c]), None)
+            # Spark DATE columns land as object-of-datetime.date while
+            # DuckDB DATE lands as datetime64 — the driver treats them as
+            # the same (per_day was green in r4); unify to datetime64
+            import datetime as _dt
+
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                for v in nonnull
+            ):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].where(pd.notna(df[c]), None)
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
         elif pd.api.types.is_integer_dtype(df[c]):
