@@ -16,10 +16,18 @@ Decode support (all stdlib — no codec library in this container):
 * **BMP**: uncompressed 24/32-bit (:func:`decode_bmp`).
 * **WAV**: PCM sample decode for 8/16-bit integer formats
   (:func:`decode_wav`).
+* **MP3**: MPEG-1/2/2.5 frame-header walk in :mod:`.mp3` — real sample
+  rate / channels / duration / bitrate profile, no PCM synthesis
+  (``ok='headers'``).
+* **MP4**: ISO-BMFF box-structure walk in :mod:`.mp4` — brand, duration,
+  per-track codec/dimensions, and stsc/stco/stsz-resolved sample byte
+  ranges, so :func:`sample_frames` fingerprints REAL video samples
+  (``ok='headers'``; no frame decode).
 * anything else falls back to the deterministic fake decoder, keeping the
   Spark-side contract (schemas, batch shapes, partitioning, null/corrupt
-  handling) uniform; remaining codecs (progressive JPEG, MP3, video) would
-  slot in beside :func:`decode_png` as one-function changes.
+  handling) uniform; remaining codecs (progressive JPEG pixels, non-MP3
+  compressed audio, non-MP4 video) would slot in beside
+  :func:`decode_png` as one-function changes.
 """
 
 from __future__ import annotations
@@ -415,12 +423,27 @@ def _fake_decode(payload: bytes):
     return width, height, channels, features
 
 
+def _mp4_size_features(sample_sizes: list) -> np.ndarray:
+    """N_FEATURES-dim stream profile: mean sample (frame) size over equal
+    sample windows, normalized by the stream's max sample size — the
+    header-derived bitrate-shape analog of :func:`_mp3_bitrate_features`."""
+    sz = np.asarray(sample_sizes, dtype=np.float64)
+    peak = sz.max() if len(sz) else 1.0
+    bounds = np.linspace(0, len(sz), N_FEATURES + 1).astype(int)
+    feats = [
+        float(sz[a:b].mean()) / peak if b > a else 0.0
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    return np.asarray(feats, dtype=np.float32)
+
+
 def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """binary payloads -> typed decode results (Arrow-batched)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .gif import parse_gif_header
         from .jpeg import parse_jpeg_header
+        from .mp4 import parse_mp4
 
         for pdf in batches:
             rows = []
@@ -434,6 +457,26 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 if len(payload) < 8:  # corrupt-input contract
                     rows.append((mid, None, None, None, "corrupt", None))
                     continue
+                if kind == "video":
+                    info = parse_mp4(payload)
+                    vt = next(
+                        (t for t in info.tracks if t.handler == "vide"),
+                        None,
+                    ) if info is not None else None
+                    if vt is not None:
+                        sizes = [s for _, s in vt.sample_ranges]
+                        feats = _mp4_size_features(sizes)
+                        rows.append(
+                            (
+                                mid,
+                                vt.width,
+                                vt.height,
+                                (vt.depth or 24) // 8,
+                                "headers",
+                                feats.tolist(),
+                            )
+                        )
+                        continue
                 # image decoders run only on image rows (audio/video payloads
                 # can't be PNG/JPEG; skipping them saves the signature walks)
                 pixels = _decode_image_real(payload) if kind == "image" else None
@@ -559,18 +602,38 @@ def decode_audio(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame.
 
-    The fake 'frames' are fingerprints of payload slices — the schema and
-    fan-out shape (1 row in, <=max_frames rows out) match a real ffmpeg
-    sampler.
+    MP4 payloads sample REAL video samples: the ISO-BMFF walk
+    (:func:`.mp4.parse_mp4`) resolves stsc/stco/stsz to per-sample byte
+    ranges, and every ``every_n``-th sample's actual mdat bytes are
+    fingerprinted, with ``frame_no`` the sample's stream index — exactly
+    the rows an ffmpeg-backed sampler would emit (minus pixel decode).
+    Everything else keeps the deterministic fake fingerprints of payload
+    slices, so the schema and fan-out shape (1 row in, <=max_frames rows
+    out) stay uniform.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import parse_mp4
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
                 payload = bytes(payload)
+                info = parse_mp4(payload) if len(payload) >= 16 else None
+                vt = next(
+                    (t for t in info.tracks if t.handler == "vide"), None
+                ) if info is not None else None
+                if vt is not None and vt.sample_ranges:
+                    picked = vt.sample_ranges[:: max(every_n, 1)][:max_frames]
+                    for i, (off, size) in zip(
+                        range(0, len(vt.sample_ranges), max(every_n, 1)),
+                        picked,
+                    ):
+                        chunk = payload[off : off + size]
+                        rows.append((mid, i, hashlib.md5(chunk).hexdigest()))
+                    continue
                 n = min(max_frames, max(1, len(payload) // max(every_n, 1)))
                 for i in range(n):
                     chunk = payload[i * every_n : (i + 1) * every_n]

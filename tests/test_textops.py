@@ -1109,3 +1109,72 @@ def test_dup_clusters_oracle_parity_through_contraction(spark):
         con.close()
     problems = compare_frames(cc.toPandas(), oracle)
     assert not problems, "; ".join(p[:400] for p in problems)
+
+
+def test_decode_media_routes_mp4_headers(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from util_mp4 import build_mp4
+
+    samples = [b"x%02d" % i * (20 + i) for i in range(6)]
+    payload, ranges = build_mp4(samples, width=320, height=180)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(payload), "video/mp4"),
+            (2, "video", bytearray(b"notanmp4" * 16), "video/x-fake"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_media(media).collect()}
+    assert rows[1].ok == "headers"
+    assert (rows[1].width, rows[1].height, rows[1].n_channels) == (320, 180, 3)
+    # feature vector is the real sample-size profile, normalized by max
+    # (independently recomputed: mean sample size per equal window / peak)
+    import numpy as np
+
+    sizes = np.array([sz for _, sz in ranges], dtype=float)
+    bounds = np.linspace(0, len(sizes), 16 + 1).astype(int)
+    expected = [
+        sizes[a:b].mean() / sizes.max() if b > a else 0.0
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    assert np.allclose(rows[1].features, expected, atol=1e-6)
+    assert max(rows[1].features) == 1.0  # the peak-size sample's window
+    # a video payload that is not ISO-BMFF keeps the uniform fake contract
+    assert rows[2].ok == "ok"
+
+
+def test_sample_frames_real_mp4_samples(spark):
+    import hashlib
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+    from util_mp4 import build_mp4
+
+    samples = [bytes([65 + i]) * (10 + 3 * i) for i in range(7)]
+    payload, _ = build_mp4(samples)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(payload), "video/mp4"),
+            (2, "video", bytearray(b"Z" * 64), "video/x-fake"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = sample_frames(media, every_n=2, max_frames=3).collect()
+    real = sorted(
+        [(r.frame_no, r.frame_fingerprint) for r in out if r.media_id == 1]
+    )
+    # every 2nd actual sample, fingerprinted from its mdat byte range
+    assert real == [
+        (i, hashlib.md5(samples[i]).hexdigest()) for i in (0, 2, 4)
+    ]
+    # fake fallback still emits the slice fingerprints for non-MP4 payloads
+    fake = sorted(
+        [(r.frame_no, r.frame_fingerprint) for r in out if r.media_id == 2]
+    )
+    assert len(fake) == 3
+    assert fake[0] == (0, hashlib.md5(b"Z" * 2).hexdigest())
