@@ -9,12 +9,17 @@ Scope (returns None outside it, routing the payload to the fallback):
 
 * baseline sequential DCT, 8-bit precision (SOF0) — the overwhelmingly
   dominant web-JPEG profile;
+* progressive DCT, 8-bit precision (SOF2) — T.81 annex G spectral
+  selection + successive approximation with huffman coding (the other
+  common web profile): scans accumulate into a shared coefficient store,
+  with EOB-run and correction-bit refinement semantics, then run through
+  the same vectorized dequant/IDCT tail;
 * grayscale or YCbCr with any sampling factors up to 4 (4:4:4, 4:2:2,
   4:2:0 covered by the general up-sampler);
-* restart markers (DRI/RSTn) honored.
+* restart markers (DRI/RSTn) honored in both modes.
 
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes are
-out of scope by design. Entropy decoding is per-bit Python — acceptable in
+Arithmetic coding, 12-bit, and hierarchical modes are out of scope by
+design. Entropy decoding is per-bit Python — acceptable in
 Arrow-batched workers on thumbnail payloads (same documented contract as
 the PNG path); the IDCT, dequantization, upsampling, and color transform
 are vectorized numpy over whole component planes.
@@ -71,9 +76,11 @@ def _build_huffman(bits: list, vals: bytes):
 
 
 def _split_scan(payload: bytes, pos: int):
-    """Entropy-coded data -> list of un-stuffed byte segments, one per
-    restart interval (split at RSTn markers, 0xFF00 -> 0xFF), vectorized
-    with numpy over the raw bytes."""
+    """Entropy-coded data -> (segments, end): list of un-stuffed byte
+    segments, one per restart interval (split at RSTn markers,
+    0xFF00 -> 0xFF), vectorized with numpy over the raw bytes; ``end`` is
+    the offset of the first real marker after the data (so progressive
+    multi-scan decoding can resume the marker loop there)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = len(arr)
     ff = np.where(arr[pos : n - 1] == 0xFF)[0] + pos
@@ -98,7 +105,7 @@ def _split_scan(payload: bytes, pos: int):
         segs.append(clean[prev:c])
         prev = c
     segs.append(clean[prev:])
-    return segs
+    return segs, end
 
 
 def decode_jpeg(payload: bytes):
@@ -111,6 +118,8 @@ def decode_jpeg(payload: bytes):
     qt: dict = {}
     huff: dict = {}  # (class, id) -> table
     frame = None
+    progressive = False
+    prog = None  # per-component coefficient state (progressive only)
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -121,8 +130,10 @@ def decode_jpeg(payload: bytes):
         if marker == 0xFF:  # fill byte (T.81 B.1.1.2)
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before SOS: no image
-            return None
+        if marker == 0xD9:  # EOI
+            if prog is not None:  # all progressive scans accumulated
+                return _finish_progressive(frame, prog, qt)
+            return None  # EOI before SOS: no image
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
             pos += 2
             continue
@@ -143,7 +154,7 @@ def decode_jpeg(payload: bytes):
                 tbl[ZIGZAG] = zz
                 qt[tid] = tbl.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0: baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 return None
             h = int.from_bytes(seg[1:3], "big")
@@ -156,9 +167,10 @@ def decode_jpeg(payload: bytes):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic
         elif marker == 0xC4:  # DHT
             i = 0
             while i + 17 <= len(seg):
@@ -178,11 +190,26 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
                 return None
-            return _decode_scan(
-                payload, pos + 2 + seg_len, seg, frame, qt, huff,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, seg, frame, qt, huff,
+                    restart_interval,
+                )
+            if prog is None:
+                prog = _init_progressive(frame)
+                if prog is None:
+                    return None
+            scan_end = _decode_progressive_scan(
+                payload, pos + 2 + seg_len, seg, frame, prog, huff,
                 restart_interval,
             )
+            if scan_end is None:
+                return None
+            pos = scan_end
+            continue
         pos += 2 + seg_len
+    if prog is not None:  # truncated file: render what accumulated
+        return _finish_progressive(frame, prog, qt)
     return None
 
 
@@ -216,7 +243,7 @@ def _decode_scan(payload, data_pos, sos, frame, qt, huff, restart_interval):
         blocks.append([])
         meta.append((hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)]))
 
-    segments = _split_scan(payload, data_pos)
+    segments, _scan_end = _split_scan(payload, data_pos)
     seg_idx = 0
     buf = segments[0] + b"\x00\x00\x00"
     acc = 0
@@ -344,6 +371,302 @@ def _decode_scan(payload, data_pos, sos, frame, qt, huff, restart_interval):
         gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return gray[:, :, None]
     y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive mode (SOF2), T.81 annex G: spectral selection + ---------
+# --- successive approximation, huffman entropy coding only ---------------
+
+class _Trunc(Exception):
+    """Entropy data exhausted mid-symbol (truncated/corrupt scan)."""
+
+
+def _init_progressive(frame):
+    """Per-component coefficient store on the padded MCU-aligned block
+    grid, plus the two block geometries a scan can walk: the MCU grid
+    (interleaved scans) and the component's own ceil-grid (non-interleaved
+    scans, T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0 or hmax > 4 or vmax > 4:
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geom = {}
+    coeffs = {}
+    for cid, hs, vs, tq in comps:
+        if hs == 0 or vs == 0 or cid in geom:
+            return None
+        bw, bh = mcus_x * hs, mcus_y * vs
+        cw = -(-(-(-w * hs // hmax)) // 8)  # ceil(ceil(w*hs/hmax)/8)
+        ch = -(-(-(-h * vs // vmax)) // 8)
+        geom[cid] = (hs, vs, bw, bh, cw, ch, tq)
+        coeffs[cid] = [0] * (bw * bh * 64)
+    return {"geom": geom, "coeffs": coeffs, "mcus": (mcus_x, mcus_y)}
+
+
+def _decode_progressive_scan(
+    payload, data_pos, seg, frame, prog, huff, restart_interval
+):
+    """Decode ONE progressive scan into the accumulated coefficient store;
+    returns the payload offset of the next marker, or None on error."""
+    ns = seg[0]
+    if len(seg) < 4 + 2 * ns or ns < 1 or ns > 4:
+        return None
+    scan_comps = []
+    for s in range(ns):
+        cs, tda = seg[1 + 2 * s], seg[2 + 2 * s]
+        scan_comps.append((cs, tda >> 4, tda & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if se > 63 or ss > se or al > 13:
+        return None
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        return None  # DC and AC coefficients never share a scan (G.1.1.1)
+    if not dc_scan and ns != 1:
+        return None  # AC scans are always non-interleaved (G.1.1.1.1)
+    geom = prog["geom"]
+    coeffs = prog["coeffs"]
+    mcus_x, mcus_y = prog["mcus"]
+    for cs, td, ta in scan_comps:
+        if cs not in geom:
+            return None
+        if dc_scan and ah == 0 and (0, td) not in huff:
+            return None
+        if not dc_scan and (1, ta) not in huff:
+            return None
+
+    segments, end = _split_scan(payload, data_pos)
+    seg_idx = 0
+    buf = segments[0] + b"\x00\x00\x00"
+    blen = len(buf)
+    p = 0
+    acc = 0
+    bits = 0
+
+    def getbits(nb):
+        nonlocal acc, bits, p
+        if nb == 0:
+            return 0
+        while bits < nb:
+            if p >= blen:
+                raise _Trunc()
+            acc = ((acc << 8) | buf[p]) & 0xFFFFFFFF
+            p += 1
+            bits += 8
+        bits -= nb
+        return (acc >> bits) & ((1 << nb) - 1)
+
+    def decode_sym(tbl):
+        nonlocal acc, bits, p
+        sym_l, len_l = tbl
+        while bits < 16:
+            if p >= blen:
+                raise _Trunc()
+            acc = ((acc << 8) | buf[p]) & 0xFFFFFFFF
+            p += 1
+            bits += 8
+        peek = (acc >> (bits - 16)) & 0xFFFF
+        length = len_l[peek]
+        if length == 0:
+            raise _Trunc()
+        bits -= length
+        return sym_l[peek]
+
+    def next_segment():
+        nonlocal seg_idx, buf, blen, p, acc, bits
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise _Trunc()
+        buf = segments[seg_idx] + b"\x00\x00\x00"
+        blen = len(buf)
+        p = 0
+        acc = 0
+        bits = 0
+
+    p1 = 1 << al
+    m1 = -1 << al
+
+    try:
+        if dc_scan:
+            dc_tbls = {
+                cs: huff.get((0, td)) for cs, td, _ in scan_comps
+            }
+            pred = {cs: 0 for cs, _, _ in scan_comps}
+            # unit walk: MCUs when interleaved, the component's own
+            # ceil-grid blocks when ns == 1 (T.81 A.2.2)
+            if ns > 1:
+                units = mcus_x * mcus_y
+            else:
+                cs0 = scan_comps[0][0]
+                _, _, _, _, cw, ch, _ = geom[cs0]
+                units = cw * ch
+            for unit in range(units):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    next_segment()
+                    pred = {cs: 0 for cs, _, _ in scan_comps}
+                for cs, td, _ta in scan_comps:
+                    hs, vs, bw, bh, cw, ch, _tq = geom[cs]
+                    cf = coeffs[cs]
+                    if ns > 1:
+                        my, mx = divmod(unit, mcus_x)
+                        positions = [
+                            ((my * vs + by) * bw + mx * hs + bx)
+                            for by in range(vs)
+                            for bx in range(hs)
+                        ]
+                    else:
+                        row, col = divmod(unit, cw)
+                        positions = [row * bw + col]
+                    for bpos in positions:
+                        base = bpos * 64
+                        if ah == 0:  # first DC pass: diff + shift (G.1.2.1)
+                            t = decode_sym(dc_tbls[cs])
+                            if t > 15:
+                                return None
+                            if t:
+                                v = getbits(t)
+                                diff = (
+                                    v
+                                    if v >= (1 << (t - 1))
+                                    else v - (1 << t) + 1
+                                )
+                                pred[cs] += diff
+                            cf[base] = pred[cs] << al
+                        else:  # refinement: one appended bit per block
+                            if getbits(1):
+                                cf[base] |= p1
+        else:
+            cs0, _td, ta = scan_comps[0]
+            ac_tbl = huff[(1, ta)]
+            hs, vs, bw, bh, cw, ch, _tq = geom[cs0]
+            cf = coeffs[cs0]
+            eobrun = 0
+            for unit in range(cw * ch):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    next_segment()
+                    eobrun = 0
+                row, col = divmod(unit, cw)
+                base = (row * bw + col) * 64
+                if ah == 0:  # first AC pass (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = decode_sym(ac_tbl)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r != 15:  # EOBn: run of end-of-band blocks
+                                eobrun = (1 << r) + getbits(r) - 1
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            return None
+                        v = getbits(size)
+                        val = (
+                            v
+                            if v >= (1 << (size - 1))
+                            else v - (1 << size) + 1
+                        )
+                        cf[base + k] = val << al
+                        k += 1
+                else:  # AC refinement (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = decode_sym(ac_tbl)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) + getbits(r)
+                                    break  # to the EOB correction sweep
+                                # ZRL: r stays 15 -> skip 16 zero coeffs
+                                val = 0
+                            else:
+                                if size != 1:
+                                    return None
+                                val = p1 if getbits(1) else m1
+                            # advance past r zero-history coeffs, appending
+                            # correction bits to nonzero ones on the way
+                            while k <= se:
+                                c = cf[base + k]
+                                if c != 0:
+                                    if getbits(1) and (c & p1) == 0:
+                                        cf[base + k] = (
+                                            c + p1 if c >= 0 else c + m1
+                                        )
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                cf[base + k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # end-of-band: correction bits only, for every
+                        # remaining nonzero coefficient in the band
+                        while k <= se:
+                            c = cf[base + k]
+                            if c != 0:
+                                if getbits(1) and (c & p1) == 0:
+                                    cf[base + k] = (
+                                        c + p1 if c >= 0 else c + m1
+                                    )
+                            k += 1
+                        eobrun -= 1
+    except _Trunc:
+        return None
+    return end
+
+
+def _finish_progressive(frame, prog, qt):
+    """Accumulated zig-zag coefficients -> pixels: same vectorized
+    dequant + IDCT + upsample + color tail as the baseline path."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            return None
+        _, _, bw, bh, _, _, _ = prog["geom"][cid]
+        zz = np.asarray(prog["coeffs"][cid], dtype=np.float64).reshape(
+            -1, 64
+        )
+        flat = np.zeros_like(zz)
+        flat[:, ZIGZAG] = zz
+        freq = flat.reshape(-1, 8, 8) * qt[tq]
+        pix = np.einsum("ux,nuv,vy->nxy", _A, freq, _A, optimize=True) + 128.0
+        # store is raster block order already: (bh, bw) row-major
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        if hs != hmax:
+            if hmax % hs != 0:
+                return None
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs != vmax:
+            if vmax % vs != 0:
+                return None
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

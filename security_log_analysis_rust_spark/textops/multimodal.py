@@ -492,7 +492,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                             or parse_gif_header(payload)
                             or parse_bmp_header(payload)
                         )
-                        if hdr is not None:  # header-only (palette/progressive)
+                        if hdr is not None:  # header-only (odd PNG palettes)
                             w, h, c = hdr
                 rows.append((mid, w, h, c, "ok", feats.tolist()))
             yield pd.DataFrame(

@@ -1178,3 +1178,26 @@ def test_sample_frames_real_mp4_samples(spark):
     )
     assert len(fake) == 3
     assert fake[0] == (0, hashlib.md5(b"Z" * 2).hexdigest())
+
+
+def test_decode_media_progressive_jpeg_real_pixels(spark):
+    import numpy as np
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from util_jpeg_prog import encode_progressive
+
+    img = np.full((24, 16), 200, dtype=np.uint8)
+    img[:, :8] = 40  # left half dark, right half bright
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_progressive(img)), "image/jpeg")],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(media).collect()[0]
+    # REAL pixel decode now (ok='ok'), not the header-only fallback
+    assert row.ok == "ok"
+    assert (row.width, row.height, row.n_channels) == (16, 24, 1)
+    assert abs(row.features[0] - 40.0) < 3.0
+    assert abs(row.features[3] - 200.0) < 3.0
