@@ -8,9 +8,10 @@ Decode support (all stdlib — no codec library in this container):
 * **PNG**: full pixel decode for the non-interlaced 8-bit-depth formats
   (gray / RGB / gray+alpha / RGBA) — chunk walk, zlib IDAT inflate, and
   per-scanline unfiltering incl. the Paeth predictor (:func:`decode_png`).
-* **JPEG**: baseline-sequential pixel decode (huffman + dequant + IDCT +
-  chroma upsampling + YCbCr transform) in :mod:`.jpeg` — the dominant web
-  image format.
+* **JPEG**: baseline-sequential AND progressive (SOF2) pixel decode
+  (huffman + dequant + IDCT + chroma upsampling + YCbCr transform; T.81
+  annex G multi-scan accumulation for progressive) in :mod:`.jpeg` — the
+  dominant web image format.
 * **GIF**: 87a/89a first-frame decode (variable-width LZW, palettes,
   interlace, transparency) in :mod:`.gif`.
 * **BMP**: uncompressed 24/32-bit (:func:`decode_bmp`).
@@ -23,11 +24,12 @@ Decode support (all stdlib — no codec library in this container):
   per-track codec/dimensions, and stsc/stco/stsz-resolved sample byte
   ranges, so :func:`sample_frames` fingerprints REAL video samples
   (``ok='headers'``; no frame decode).
+* **AAC**: ADTS frame-header walk in :mod:`.adts` — real profile /
+  sample rate / channels / duration / bitrate shape (``ok='headers'``).
 * anything else falls back to the deterministic fake decoder, keeping the
   Spark-side contract (schemas, batch shapes, partitioning, null/corrupt
-  handling) uniform; remaining codecs (progressive JPEG pixels, non-MP3
-  compressed audio, non-MP4 video) would slot in beside
-  :func:`decode_png` as one-function changes.
+  handling) uniform; remaining codecs (Vorbis/FLAC audio, non-MP4 video)
+  would slot in beside :func:`decode_png` as one-function changes.
 """
 
 from __future__ import annotations
@@ -86,8 +88,8 @@ N_FEATURES = 16
 def _decode_image_real(payload: bytes):
     """Real PIXEL decode hook — PNG (:func:`decode_png`), baseline JPEG
     (:mod:`.jpeg`) and GIF (:mod:`.gif`) handled natively; returns None for
-    formats that would need an external codec (progressive JPEG, webp &c),
-    which callers route to the deterministic fake decoder."""
+    formats that would need an external codec (webp, AVIF &c), which
+    callers route to the deterministic fake decoder."""
     pixels = decode_png(payload)
     if pixels is None:
         from .jpeg import decode_jpeg
@@ -423,10 +425,11 @@ def _fake_decode(payload: bytes):
     return width, height, channels, features
 
 
-def _mp4_size_features(sample_sizes: list) -> np.ndarray:
-    """N_FEATURES-dim stream profile: mean sample (frame) size over equal
-    sample windows, normalized by the stream's max sample size — the
-    header-derived bitrate-shape analog of :func:`_mp3_bitrate_features`."""
+def _size_profile_features(sample_sizes: list) -> np.ndarray:
+    """N_FEATURES-dim stream profile: mean sample/frame byte size over
+    equal windows, normalized by the stream's max — the header-derived
+    bitrate-shape analog of :func:`_mp3_bitrate_features`, shared by the
+    MP4 video and ADTS audio paths."""
     sz = np.asarray(sample_sizes, dtype=np.float64)
     peak = sz.max() if len(sz) else 1.0
     bounds = np.linspace(0, len(sz), N_FEATURES + 1).astype(int)
@@ -465,7 +468,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     ) if info is not None else None
                     if vt is not None:
                         sizes = [s for _, s in vt.sample_ranges]
-                        feats = _mp4_size_features(sizes)
+                        feats = _size_profile_features(sizes)
                         rows.append(
                             (
                                 mid,
@@ -534,14 +537,16 @@ def decode_audio(media: DataFrame) -> DataFrame:
     """audio binary payloads -> PCM metadata + windowed-RMS features.
 
     Real WAV decode (:func:`decode_wav`). MPEG audio (MP3) routes through
-    the frame-header walk (:func:`.mp3.parse_mp3`) — no PCM synthesis, so
-    those rows report ``ok='headers'`` with real sample_rate / channel /
-    sample counts and a bitrate-profile feature vector instead of RMS.
+    the frame-header walk (:func:`.mp3.parse_mp3`) and AAC through the
+    ADTS walk (:func:`.adts.parse_adts`) — no audio synthesis, so those
+    rows report ``ok='headers'`` with real sample_rate / channel / sample
+    counts and a bitrate-shape feature vector instead of RMS.
     Everything else reports 'corrupt'. WAV features: RMS amplitude over
     N_FEATURES equal time windows of the channel-mean signal, normalized
     to [0, 1]."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .adts import parse_adts
         from .mp3 import parse_mp3
 
         for pdf in batches:
@@ -562,6 +567,19 @@ def decode_audio(media: DataFrame) -> DataFrame:
                                 int(info.n_samples),
                                 "headers",
                                 _mp3_bitrate_features(info.frame_bitrates).tolist(),
+                            )
+                        )
+                        continue
+                    aac = parse_adts(bytes(payload))
+                    if aac is not None:
+                        rows.append(
+                            (
+                                mid,
+                                int(aac.sample_rate),
+                                int(aac.n_channels),
+                                int(aac.n_samples),
+                                "headers",
+                                _size_profile_features(aac.frame_sizes).tolist(),
                             )
                         )
                         continue

@@ -1201,3 +1201,26 @@ def test_decode_media_progressive_jpeg_real_pixels(spark):
     assert (row.width, row.height, row.n_channels) == (16, 24, 1)
     assert abs(row.features[0] - 40.0) < 3.0
     assert abs(row.features[3] - 200.0) < 3.0
+
+
+def test_decode_audio_routes_adts_aac(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        N_FEATURES,
+        decode_audio,
+    )
+    from test_adts import build_adts
+
+    aac = build_adts([120] * 16, sr_idx=3, channels=2)  # 48 kHz stereo
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(aac), "audio/aac"),
+         (2, "audio", bytearray(b"Z" * 200), "audio/x-junk")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert rows[1].ok == "headers"
+    assert rows[1].sample_rate == 48000 and rows[1].n_channels == 2
+    assert rows[1].n_samples == 16 * 1024
+    assert len(rows[1].features) == N_FEATURES
+    # equal-size frames -> flat unit profile
+    assert all(abs(f - 1.0) < 1e-6 for f in rows[1].features)
+    assert rows[2].ok == "corrupt"
