@@ -26,9 +26,13 @@ Decode support (all stdlib — no codec library in this container):
   (``ok='headers'``; no frame decode).
 * **AAC**: ADTS frame-header walk in :mod:`.adts` — real profile /
   sample rate / channels / duration / bitrate shape (``ok='headers'``).
+* **WebM/MKV**: EBML/Matroska structure walk in :mod:`.webm` — doctype,
+  duration, per-track codec/dimensions/audio params, and Cluster
+  SimpleBlock/Block frame byte ranges, so :func:`sample_frames`
+  fingerprints REAL WebM frame data too (``ok='headers'``).
 * anything else falls back to the deterministic fake decoder, keeping the
   Spark-side contract (schemas, batch shapes, partitioning, null/corrupt
-  handling) uniform; remaining codecs (Vorbis/FLAC audio, non-MP4 video)
+  handling) uniform; remaining codecs (Vorbis/FLAC audio)
   would slot in beside :func:`decode_png` as one-function changes.
 """
 
@@ -447,6 +451,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
         from .gif import parse_gif_header
         from .jpeg import parse_jpeg_header
         from .mp4 import parse_mp4
+        from .webm import parse_webm
 
         for pdf in batches:
             rows = []
@@ -475,6 +480,25 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                                 vt.width,
                                 vt.height,
                                 (vt.depth or 24) // 8,
+                                "headers",
+                                feats.tolist(),
+                            )
+                        )
+                        continue
+                    winfo = parse_webm(payload)
+                    wt = next(
+                        (t for t in winfo.tracks if t.kind == "video"),
+                        None,
+                    ) if winfo is not None else None
+                    if wt is not None:
+                        sizes = [s for _, s in wt.block_ranges]
+                        feats = _size_profile_features(sizes)
+                        rows.append(
+                            (
+                                mid,
+                                wt.width,
+                                wt.height,
+                                None,  # channel count unknowable pre-decode
                                 "headers",
                                 feats.tolist(),
                             )
@@ -620,10 +644,11 @@ def decode_audio(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame.
 
-    MP4 payloads sample REAL video samples: the ISO-BMFF walk
-    (:func:`.mp4.parse_mp4`) resolves stsc/stco/stsz to per-sample byte
-    ranges, and every ``every_n``-th sample's actual mdat bytes are
-    fingerprinted, with ``frame_no`` the sample's stream index — exactly
+    MP4 and WebM payloads sample REAL video frame data: the ISO-BMFF
+    walk (:func:`.mp4.parse_mp4`) resolves stsc/stco/stsz to per-sample
+    byte ranges and the EBML walk (:func:`.webm.parse_webm`) resolves
+    Cluster SimpleBlock/Block ranges; every ``every_n``-th range's actual
+    bytes are fingerprinted, with ``frame_no`` the stream index — exactly
     the rows an ffmpeg-backed sampler would emit (minus pixel decode).
     Everything else keeps the deterministic fake fingerprints of payload
     slices, so the schema and fan-out shape (1 row in, <=max_frames rows
@@ -632,6 +657,7 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .mp4 import parse_mp4
+        from .webm import parse_webm
 
         for pdf in batches:
             rows = []
@@ -643,11 +669,19 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
                 vt = next(
                     (t for t in info.tracks if t.handler == "vide"), None
                 ) if info is not None else None
-                if vt is not None and vt.sample_ranges:
-                    picked = vt.sample_ranges[:: max(every_n, 1)][:max_frames]
+                ranges = vt.sample_ranges if vt is not None else []
+                if not ranges and len(payload) >= 16:
+                    winfo = parse_webm(payload)
+                    wt = next(
+                        (t for t in winfo.tracks if t.kind == "video"),
+                        None,
+                    ) if winfo is not None else None
+                    if wt is not None:
+                        ranges = wt.block_ranges
+                if ranges:
+                    picked = ranges[:: max(every_n, 1)][:max_frames]
                     for i, (off, size) in zip(
-                        range(0, len(vt.sample_ranges), max(every_n, 1)),
-                        picked,
+                        range(0, len(ranges), max(every_n, 1)), picked
                     ):
                         chunk = payload[off : off + size]
                         rows.append((mid, i, hashlib.md5(chunk).hexdigest()))

@@ -1224,3 +1224,31 @@ def test_decode_audio_routes_adts_aac(spark):
     # equal-size frames -> flat unit profile
     assert all(abs(f - 1.0) < 1e-6 for f in rows[1].features)
     assert rows[2].ok == "corrupt"
+
+
+def test_decode_media_and_sample_frames_route_webm(spark):
+    import hashlib
+
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        sample_frames,
+    )
+    from test_webm import build_webm
+
+    frames = [bytes([70 + i]) * (30 + 10 * i) for i in range(6)]
+    payload = build_webm(video=("V_VP9", 640, 360), video_frames=frames)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), "video/webm")], MEDIA_SCHEMA
+    )
+    row = decode_media(media).collect()[0]
+    assert row.ok == "headers"
+    assert (row.width, row.height) == (640, 360)
+    assert row.n_channels is None  # unknowable before frame decode
+    assert max(row.features) == 1.0  # real block-size profile
+
+    out = sample_frames(media, every_n=2, max_frames=3).collect()
+    got = sorted((r.frame_no, r.frame_fingerprint) for r in out)
+    assert got == [
+        (i, hashlib.md5(frames[i]).hexdigest()) for i in (0, 2, 4)
+    ]
