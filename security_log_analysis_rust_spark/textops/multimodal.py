@@ -30,9 +30,14 @@ Decode support (all stdlib — no codec library in this container):
   duration, per-track codec/dimensions/audio params, and Cluster
   SimpleBlock/Block frame byte ranges, so :func:`sample_frames`
   fingerprints REAL WebM frame data too (``ok='headers'``).
+* **FLAC**: STREAMINFO parse in :mod:`.flac` — sample rate / channels /
+  bit depth / duration (``ok='headers'``).
+* **Ogg**: RFC 3533 page walk + Vorbis/Opus/Theora identification
+  headers in :mod:`.ogg` — channels/rate/duration for audio,
+  dimensions/fps for Theora video (``ok='headers'``).
 * anything else falls back to the deterministic fake decoder, keeping the
   Spark-side contract (schemas, batch shapes, partitioning, null/corrupt
-  handling) uniform; remaining codecs (Vorbis/FLAC audio)
+  handling) uniform; remaining codecs (e.g. webp/AVIF images)
   would slot in beside :func:`decode_png` as one-function changes.
 """
 
@@ -451,6 +456,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
         from .gif import parse_gif_header
         from .jpeg import parse_jpeg_header
         from .mp4 import parse_mp4
+        from .ogg import parse_ogg
         from .webm import parse_webm
 
         for pdf in batches:
@@ -499,6 +505,24 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                                 wt.width,
                                 wt.height,
                                 None,  # channel count unknowable pre-decode
+                                "headers",
+                                feats.tolist(),
+                            )
+                        )
+                        continue
+                    oinfo = parse_ogg(payload)
+                    ot = next(
+                        (t for t in oinfo.streams if t.kind == "video"),
+                        None,
+                    ) if oinfo is not None else None
+                    if ot is not None:
+                        feats = _size_profile_features(ot.page_sizes)
+                        rows.append(
+                            (
+                                mid,
+                                ot.width,
+                                ot.height,
+                                None,
                                 "headers",
                                 feats.tolist(),
                             )
@@ -560,18 +584,22 @@ def _mp3_bitrate_features(frame_bitrates: list) -> np.ndarray:
 def decode_audio(media: DataFrame) -> DataFrame:
     """audio binary payloads -> PCM metadata + windowed-RMS features.
 
-    Real WAV decode (:func:`decode_wav`). MPEG audio (MP3) routes through
-    the frame-header walk (:func:`.mp3.parse_mp3`) and AAC through the
-    ADTS walk (:func:`.adts.parse_adts`) — no audio synthesis, so those
-    rows report ``ok='headers'`` with real sample_rate / channel / sample
-    counts and a bitrate-shape feature vector instead of RMS.
-    Everything else reports 'corrupt'. WAV features: RMS amplitude over
+    Real WAV decode (:func:`decode_wav`). MP3 (:func:`.mp3.parse_mp3`),
+    ADTS AAC (:func:`.adts.parse_adts`), FLAC (:func:`.flac.parse_flac`)
+    and Ogg Vorbis/Opus (:func:`.ogg.parse_ogg`) route through their
+    header walks — no audio synthesis, so those rows report
+    ``ok='headers'`` with real sample_rate / channel / sample counts and
+    a bitrate-shape feature vector instead of RMS (zeros for FLAC, whose
+    frame sizes would need a frame walk). Everything else reports
+    'corrupt'. WAV features: RMS amplitude over
     N_FEATURES equal time windows of the channel-mean signal, normalized
     to [0, 1]."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .adts import parse_adts
+        from .flac import parse_flac
         from .mp3 import parse_mp3
+        from .ogg import parse_ogg
 
         for pdf in batches:
             rows = []
@@ -604,6 +632,37 @@ def decode_audio(media: DataFrame) -> DataFrame:
                                 int(aac.n_samples),
                                 "headers",
                                 _size_profile_features(aac.frame_sizes).tolist(),
+                            )
+                        )
+                        continue
+                    flac = parse_flac(bytes(payload))
+                    if flac is not None:
+                        rows.append(
+                            (
+                                mid,
+                                int(flac.sample_rate),
+                                int(flac.n_channels),
+                                int(flac.n_samples),
+                                "headers",
+                                # frame sizes need a frame walk: honest zeros
+                                [0.0] * N_FEATURES,
+                            )
+                        )
+                        continue
+                    ogg = parse_ogg(bytes(payload))
+                    oa = next(
+                        (t for t in ogg.streams if t.kind == "audio"), None
+                    ) if ogg is not None else None
+                    if oa is not None:
+                        n_samp = max(0, oa.last_granule - oa.pre_skip)
+                        rows.append(
+                            (
+                                mid,
+                                int(oa.sample_rate),
+                                int(oa.n_channels),
+                                int(n_samp),
+                                "headers",
+                                _size_profile_features(oa.page_sizes).tolist(),
                             )
                         )
                         continue
@@ -657,6 +716,7 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .mp4 import parse_mp4
+        from .ogg import parse_ogg
         from .webm import parse_webm
 
         for pdf in batches:

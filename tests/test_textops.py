@@ -1252,3 +1252,56 @@ def test_decode_media_and_sample_frames_route_webm(spark):
     assert got == [
         (i, hashlib.md5(frames[i]).hexdigest()) for i in (0, 2, 4)
     ]
+
+
+def test_decode_audio_routes_flac_and_ogg(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        N_FEATURES,
+        decode_audio,
+    )
+    from test_ogg_flac import build_flac, ogg_page, opus_head, vorbis_ident
+
+    flac = build_flac(sample_rate=22050, channels=1, bps=16, total=22050)
+    vorbis = (
+        ogg_page(7, 0, [vorbis_ident(2, 44100)], header_type=2)
+        + ogg_page(7, 88200, [b"\xaa" * 256], seq=1, header_type=4)
+    )
+    opus = (
+        ogg_page(9, 0, [opus_head(channels=1, pre_skip=312)], header_type=2)
+        + ogg_page(9, 96000 + 312, [b"\xbb" * 128], seq=1, header_type=4)
+    )
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(flac), "audio/flac"),
+         (2, "audio", bytearray(vorbis), "audio/ogg"),
+         (3, "audio", bytearray(opus), "audio/opus")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert rows[1].ok == "headers"
+    assert (rows[1].sample_rate, rows[1].n_channels) == (22050, 1)
+    assert rows[1].n_samples == 22050
+    assert rows[1].features == [0.0] * N_FEATURES  # honest: no frame walk
+    assert rows[2].ok == "headers"
+    assert (rows[2].sample_rate, rows[2].n_channels) == (44100, 2)
+    assert rows[2].n_samples == 88200  # 2 s of 44.1 kHz
+    assert rows[3].ok == "headers"
+    assert rows[3].sample_rate == 48000 and rows[3].n_samples == 96000
+
+
+def test_decode_media_routes_ogg_theora(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from test_ogg_flac import ogg_page, theora_ident
+
+    payload = (
+        ogg_page(1, 0, [theora_ident(320, 176, 25, 1)], header_type=2)
+        + ogg_page(1, 10, [b"\xdd" * 99], seq=1)
+    )
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(payload), "video/ogg")], MEDIA_SCHEMA
+    )
+    row = decode_media(media).collect()[0]
+    assert row.ok == "headers"
+    assert (row.width, row.height) == (320, 176)
