@@ -35,9 +35,12 @@ Decode support (all stdlib — no codec library in this container):
 * **Ogg**: RFC 3533 page walk + Vorbis/Opus/Theora identification
   headers in :mod:`.ogg` — channels/rate/duration for audio,
   dimensions/fps for Theora video (``ok='headers'``).
+* **WebP**: RIFF chunk walk (:func:`parse_webp_header`) — real
+  dimensions + alpha flag from VP8 /VP8L/VP8X headers (pixels need a
+  VP8 entropy decoder; header-only by design).
 * anything else falls back to the deterministic fake decoder, keeping the
   Spark-side contract (schemas, batch shapes, partitioning, null/corrupt
-  handling) uniform; remaining codecs (e.g. webp/AVIF images)
+  handling) uniform; remaining pixel decoders (webp/AVIF/HEIC)
   would slot in beside :func:`decode_png` as one-function changes.
 """
 
@@ -191,6 +194,45 @@ def parse_bmp_header(payload: bytes):
     if width <= 0 or height == 0 or compression != 0 or bits not in (24, 32):
         return None
     return width, abs(height), 3 if bits == 24 else 4
+
+
+def parse_webp_header(payload: bytes):
+    """-> (width, height, n_channels) for a WebP container, else None.
+
+    Real RIFF chunk walk over the public WebP layout: lossy "VP8 "
+    keyframes (0x9D012A start code, 14-bit dims), lossless "VP8L"
+    (0x2F signature, packed 14-bit dims + alpha bit), and extended
+    "VP8X" (24-bit canvas dims + alpha flag). Pixel decode needs a VP8
+    entropy decoder, so this is header-only by design."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if fourcc == b"VP8 " and body + 10 <= n:
+            if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                return None  # not a keyframe: dims unavailable
+            w = int.from_bytes(payload[body + 6 : body + 8], "little") & 0x3FFF
+            h = int.from_bytes(payload[body + 8 : body + 10], "little") & 0x3FFF
+            return (w, h, 3) if w and h else None
+        if fourcc == b"VP8L" and body + 5 <= n:
+            if payload[body] != 0x2F:
+                return None
+            bits = int.from_bytes(payload[body + 1 : body + 5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            return (w, h, 4 if alpha else 3)
+        if fourcc == b"VP8X" and body + 10 <= n:
+            alpha = payload[body] & 0x10
+            w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+            return (w, h, 4 if alpha else 3)
+        pos = body + ln + (ln & 1)
+    return None
 
 
 def decode_bmp(payload: bytes):
@@ -542,6 +584,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                             or parse_jpeg_header(payload)
                             or parse_gif_header(payload)
                             or parse_bmp_header(payload)
+                            or parse_webp_header(payload)
                         )
                         if hdr is not None:  # header-only (odd PNG palettes)
                             w, h, c = hdr

@@ -104,3 +104,32 @@ def test_progressive_without_scans_is_rejected():
     payload = encode_progressive(img)
     first_sos = payload.index(b"\xff\xda")
     assert decode_jpeg(bytes(payload[:first_sos]) + b"\xff\xd9") is None
+
+
+def test_progressive_property_roundtrip():
+    """Property check (hypothesis): arbitrary small images decode
+    identically through the progressive and baseline entropy codings."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(4, 24),
+        h=st.integers(4, 24),
+        seed=st.integers(0, 2**31),
+        subsample=st.booleans(),
+        color=st.booleans(),
+    )
+    def check(w, h, seed, subsample, color):
+        rng = np.random.default_rng(seed)
+        if color:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = decode_jpeg(encode_color(img, subsample=subsample))
+            prog = decode_jpeg(encode_progressive(img, subsample=subsample))
+        else:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            base = decode_jpeg(encode_gray(img))
+            prog = decode_jpeg(encode_progressive(img))
+        assert prog is not None
+        assert np.array_equal(prog, base)
+
+    check()

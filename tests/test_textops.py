@@ -1305,3 +1305,56 @@ def test_decode_media_routes_ogg_theora(spark):
     row = decode_media(media).collect()[0]
     assert row.ok == "headers"
     assert (row.width, row.height) == (320, 176)
+
+
+def _webp(kind, w, h, alpha=False):
+    import struct
+
+    if kind == "lossy":
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    elif kind == "lossless":
+        bits = (w - 1) | ((h - 1) << 14) | ((1 if alpha else 0) << 28)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body + b"\x00"
+    else:  # extended
+        body = (
+            bytes([0x10 if alpha else 0]) + b"\x00\x00\x00"
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_parse_webp_header_all_variants():
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        parse_webp_header,
+    )
+
+    assert parse_webp_header(_webp("lossy", 320, 240)) == (320, 240, 3)
+    assert parse_webp_header(_webp("lossless", 64, 48)) == (64, 48, 3)
+    assert parse_webp_header(_webp("lossless", 64, 48, alpha=True)) == (64, 48, 4)
+    assert parse_webp_header(_webp("extended", 1920, 1080, alpha=True)) == (
+        1920, 1080, 4,
+    )
+    assert parse_webp_header(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 16) is None
+    assert parse_webp_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24) is None
+    # non-keyframe VP8 (no start code): dims unavailable -> None
+    bad = bytearray(_webp("lossy", 10, 10))
+    bad[23] = 0x00
+    assert parse_webp_header(bytes(bad)) is None
+
+
+def test_decode_media_webp_header_fallback(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_webp("lossy", 77, 55)), "image/webp")],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(media).collect()[0]
+    # header-derived real dims; pixels stay fake (needs VP8 decode)
+    assert (row.width, row.height, row.n_channels) == (77, 55, 3)
