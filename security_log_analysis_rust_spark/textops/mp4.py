@@ -371,3 +371,49 @@ def parse_mp4(payload: bytes) -> Optional[Mp4Info]:
         n_tracks=len(tracks),
         tracks=tracks,
     )
+
+
+#: ftyp brands that mark an ISO-BMFF *image* container (AVIF/HEIF family).
+_IMAGE_BRANDS = {b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"}
+
+
+def parse_avif_header(payload: bytes):
+    """-> (width, height, n_channels) for an AVIF/HEIF image, else None.
+
+    Reuses the ISO-BMFF box walk: an image-brand ``ftyp`` plus the
+    ``meta`` (FullBox) -> ``iprp`` -> ``ipco`` chain, reading ``ispe``
+    (image spatial extents) for dimensions and ``pixi`` (pixel
+    information) for the channel count when present (default 3). Pixel
+    decode needs an AV1/HEVC codec, so this is header-only by design."""
+    data = bytes(payload)
+    if len(data) < 24:
+        return None
+    brand_ok = False
+    meta = None
+    for btype, a, b in _boxes(data, 0, len(data)):
+        if btype == b"ftyp" and b - a >= 8:
+            brands = {data[a : a + 4]} | {
+                data[i : i + 4] for i in range(a + 8, b - 3, 4)
+            }
+            brand_ok = bool(brands & _IMAGE_BRANDS)
+        elif btype == b"meta":
+            meta = (a + 4, b)  # meta is a FullBox: skip version/flags
+    if not brand_ok or meta is None:
+        return None
+    iprp = _find(data, *meta, b"iprp", 1)
+    if iprp is None:
+        return None
+    ipco = _find(data, *iprp, b"ipco", 2)
+    if ipco is None:
+        return None
+    width = height = None
+    channels = 3
+    for btype, a, b in _boxes(data, *ipco, 3):
+        if btype == b"ispe" and b - a >= 12 and width is None:
+            width = _u32(data, a + 4)
+            height = _u32(data, a + 8)
+        elif btype == b"pixi" and b - a >= 5:
+            channels = data[a + 4] or 3
+    if not width or not height:
+        return None
+    return width, height, channels

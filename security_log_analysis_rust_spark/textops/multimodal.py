@@ -38,6 +38,9 @@ Decode support (all stdlib — no codec library in this container):
 * **WebP**: RIFF chunk walk (:func:`parse_webp_header`) — real
   dimensions + alpha flag from VP8 /VP8L/VP8X headers (pixels need a
   VP8 entropy decoder; header-only by design).
+* **AVIF/HEIF**: ISO-BMFF meta/iprp/ipco walk
+  (:func:`.mp4.parse_avif_header`) — real dimensions from ``ispe`` and
+  channels from ``pixi`` (pixels need AV1/HEVC; header-only).
 * anything else falls back to the deterministic fake decoder, keeping the
   Spark-side contract (schemas, batch shapes, partitioning, null/corrupt
   handling) uniform; remaining pixel decoders (webp/AVIF/HEIC)
@@ -497,7 +500,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .gif import parse_gif_header
         from .jpeg import parse_jpeg_header
-        from .mp4 import parse_mp4
+        from .mp4 import parse_avif_header, parse_mp4
         from .ogg import parse_ogg
         from .webm import parse_webm
 
@@ -585,6 +588,7 @@ def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
                             or parse_gif_header(payload)
                             or parse_bmp_header(payload)
                             or parse_webp_header(payload)
+                            or parse_avif_header(payload)
                         )
                         if hdr is not None:  # header-only (odd PNG palettes)
                             w, h, c = hdr

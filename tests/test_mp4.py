@@ -123,3 +123,43 @@ def test_garbage_box_sizes_do_not_crash():
         corrupted = bytearray(payload)
         struct.pack_into(">I", corrupted, idx, 0xFFFFFFF0)
         parse_mp4(bytes(corrupted))  # must not raise
+
+
+def _avif(w, h, channels=None, brand=b"avif"):
+    from tests.util_mp4 import box
+
+    ispe = box(
+        b"ispe", b"\x00" * 4 + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    )
+    pixi = (
+        box(b"pixi", b"\x00" * 4 + bytes([channels] + [8] * channels))
+        if channels
+        else b""
+    )
+    ftyp = box(b"ftyp", brand + b"\x00" * 4 + brand + b"mif1")
+    meta = box(
+        b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", ispe + pixi))
+    )
+    return ftyp + meta
+
+
+def test_avif_header_roundtrip():
+    from security_log_analysis_rust_spark.textops.mp4 import parse_avif_header
+
+    assert parse_avif_header(_avif(800, 600)) == (800, 600, 3)
+    assert parse_avif_header(_avif(64, 32, channels=4)) == (64, 32, 4)
+    assert parse_avif_header(_avif(100, 50, brand=b"heic")) == (100, 50, 3)
+
+
+def test_avif_header_rejects():
+    from security_log_analysis_rust_spark.textops.mp4 import parse_avif_header
+
+    # a video-brand mp4 with a meta box is not an image
+    payload, _ = enc.build_mp4(SAMPLES)
+    assert parse_avif_header(payload) is None
+    # image brand but no meta/ispe
+    from tests.util_mp4 import box
+
+    ftyp_only = box(b"ftyp", b"avif\x00\x00\x00\x00avif")
+    assert parse_avif_header(ftyp_only + box(b"mdat", b"x" * 32)) is None
+    assert parse_avif_header(b"") is None

@@ -1358,3 +1358,18 @@ def test_decode_media_webp_header_fallback(spark):
     row = decode_media(media).collect()[0]
     # header-derived real dims; pixels stay fake (needs VP8 decode)
     assert (row.width, row.height, row.n_channels) == (77, 55, 3)
+
+
+def test_decode_media_avif_header_fallback(spark):
+    from security_log_analysis_rust_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from test_mp4 import _avif
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_avif(240, 135, channels=4)), "image/avif")],
+        MEDIA_SCHEMA,
+    )
+    row = decode_media(media).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (240, 135, 4)
