@@ -155,12 +155,14 @@ def decode_jpeg(payload: bytes):
                 qt[tid] = tbl.reshape(8, 8)
                 i += 65
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
-            if seg[0] != 8:
+            if len(seg) < 6 or seg[0] != 8:
                 return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
             if h == 0 or w == 0 or nc not in (1, 3):
+                return None
+            if len(seg) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):
@@ -186,9 +188,11 @@ def decode_jpeg(payload: bytes):
                 huff[(tc, th)] = tbl
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS: entropy-coded data follows
-            if frame is None:
+            if frame is None or len(seg) < 6:
                 return None
             if not progressive:
                 return _decode_scan(
@@ -216,8 +220,8 @@ def decode_jpeg(payload: bytes):
 def _decode_scan(payload, data_pos, sos, frame, qt, huff, restart_interval):
     h, w, comps = frame
     ns = sos[0]
-    if ns != len(comps):
-        return None  # multi-scan baseline: out of scope
+    if ns != len(comps) or len(sos) < 1 + 2 * ns + 3:
+        return None  # multi-scan baseline / truncated header: out of scope
     scan_tables = {}
     for s in range(ns):
         cs, tda = sos[1 + 2 * s], sos[2 + 2 * s]
