@@ -1,0 +1,156 @@
+"""Sharded Bloom filter for incremental corpus deduplication.
+
+The exact incremental-dedup path in this engine is the month-pruned
+anti-join (`pipeline/route.py::append_dedup` — shuffle the new batch
+against the overlapping slice of the historical sink). At web-corpus scale
+the historical side can be the whole crawl history; a Bloom filter of the
+historical fingerprints turns membership into an O(1) in-memory probe with
+ZERO shuffle of history per batch: build once (or maintain incrementally —
+the bitset union of two builds is the build of the union), broadcast,
+probe. The price is a bounded false-positive rate — probes flagged
+``maybe_dup`` either get dropped (lossy dedup, the common crawl-pipeline
+choice) or fall through to the exact anti-join on the tiny flagged subset.
+
+Design:
+
+* **Hashing stays JVM-side** — the ``k`` bit positions and the shard id
+  are computed with ``xxhash64(value, seed_i)`` column expressions, so the
+  build and the probe use bit-identical hashes with no Python hashing to
+  keep in sync.
+* **Build is one partial-aggregated shuffle** — positions explode to
+  ``(shard, word_idx, bit)`` rows, ``groupBy(shard, word_idx).agg(bit_or)``
+  reduces map-side to at most ``shards × words_per_shard`` rows (the size
+  of the filter itself, independent of corpus size), then the bitset is
+  assembled driver-side — the collect is the filter, not the data.
+* **Probe is a vectorized Arrow-batch lookup** — a Pandas UDF indexes the
+  broadcast numpy bitset with the JVM-computed positions; no per-row
+  Python, no hash recomputation.
+* **Shards bound memory** — at 10^10 historical fingerprints and 1% FPR
+  the filter is ~12 GiB; ``shards`` splits the key space by hash prefix so
+  each executor can hold (or each probe task fetch) one shard at a time.
+  In this single-JVM sandbox the shards live in one broadcast array; on a
+  real cluster the same layout maps to one broadcast (or disk-backed
+  torrent block) per shard joined on the probe's shard column.
+
+FPR for ``n`` inserted values: ``(1 - exp(-k*n/m))^k`` with ``m = shards *
+n_bits_per_shard`` total bits; ~10 bits/value at ``k=5`` gives <1%.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: seed offset for the shard hash, distinct from every position seed
+_SHARD_SEED = -1
+
+
+def _shard_col(col: Column, shards: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(_SHARD_SEED)), F.lit(shards)).cast("int")
+
+
+def _position_cols(col: Column, n_bits: int, k: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)) for i in range(k)
+    ]
+
+
+@dataclass
+class SparkBloom:
+    """Driver-held bitset; ``words[shard, word_idx]`` packs 64 bits each."""
+
+    n_bits: int  # bits per shard
+    k: int
+    shards: int
+    words: np.ndarray  # int64 (shards, ceil(n_bits/64))
+
+    @property
+    def total_bits(self) -> int:
+        return self.n_bits * self.shards
+
+    def union(self, other: "SparkBloom") -> "SparkBloom":
+        """Bitset union == the filter of the unioned corpora (incremental
+        maintenance: build on the new month, union into the running
+        filter)."""
+        if (self.n_bits, self.k, self.shards) != (
+            other.n_bits,
+            other.k,
+            other.shards,
+        ):
+            raise ValueError("bloom parameters differ; cannot union")
+        return SparkBloom(
+            self.n_bits, self.k, self.shards, self.words | other.words
+        )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    shards: int = 1,
+) -> SparkBloom:
+    """Build the filter over ``df[col]`` (one exchange, sized by the
+    filter, not the data)."""
+    c = F.col(col)
+    rows = (
+        df.select(
+            _shard_col(c, shards).alias("shard"),
+            F.explode(F.array(*_position_cols(c, n_bits, k))).alias("pos"),
+        )
+        .select(
+            "shard",
+            F.shiftright(F.col("pos"), 6).alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("shard", "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    n_words = (n_bits + 63) // 64
+    words = np.zeros((shards, n_words), dtype=np.int64)
+    for r in rows:
+        words[r.shard, r.word_idx] = r.word
+    return SparkBloom(n_bits=n_bits, k=k, shards=shards, words=words)
+
+
+def bloom_maybe_contains(
+    df: DataFrame, col: str, bloom: SparkBloom, out_col: str = "maybe_dup"
+) -> DataFrame:
+    """Append ``out_col``: True iff all ``k`` bits are set (value possibly
+    in the build corpus; False is definite absence)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bloom.words)
+    c = F.col(col)
+    shard = _shard_col(c, bloom.shards)
+    positions = F.array(*_position_cols(c, bloom.n_bits, bloom.k))
+
+    @F.pandas_udf("boolean")
+    def _probe(shard_s: pd.Series, pos_s: pd.Series) -> pd.Series:
+        W = bc.value
+        if not len(shard_s):
+            return pd.Series([], dtype=bool)
+        sh = shard_s.to_numpy(dtype=np.int64)
+        P = np.vstack(pos_s.to_numpy())  # (n, k) int64 positions
+        vals = W[sh[:, None], P >> 6]
+        # arithmetic shift then &1 still yields bit b exactly, incl. b=63
+        ok = ((vals >> (P & 63)) & 1).all(axis=1)
+        return pd.Series(ok)
+
+    return df.withColumn(out_col, _probe(shard, positions))
+
+
+def bloom_filter_new(df: DataFrame, col: str, bloom: SparkBloom) -> DataFrame:
+    """Rows of ``df`` definitely NOT in the build corpus (lossy dedup: a
+    false positive drops a genuinely-new row; no duplicate ever survives).
+    For lossless dedup, route the flagged complement through the exact
+    anti-join instead of dropping it."""
+    return bloom_maybe_contains(df, col, bloom).filter(~F.col("maybe_dup")).drop(
+        "maybe_dup"
+    )
