@@ -1,0 +1,154 @@
+"""Per-domain corpus operators: stats, caps, deterministic thinning.
+
+Web-corpus pipelines (RefinedWeb, Dolma, CCNet) treat the URL's domain as
+a first-class grouping key: per-domain accounting feeds dataset cards,
+per-domain document caps stop a single crawler-friendly site from
+dominating the corpus, and per-source deterministic thinning implements
+training-mixture weights. All three are expressed here as pure DataFrame
+operators whose selection order is **data-deterministic** (md5 of the URL,
+reproducible in any engine) rather than partition- or sample()-dependent,
+so a re-run — or a different engine — selects the exact same documents.
+
+Scale notes: `domain_stats` is one partial-aggregated shuffle.
+`cap_per_domain` is one shuffle (window by domain); the md5 sort is
+per-domain, and domains are naturally high-cardinality keys — the hottest
+domain in a 100 TB crawl is millions of rows, not billions, and the cap
+discards them map-free after one sort. `mixture_thin` is a pure map stage
+(no shuffle at all): the keep decision depends only on the row's own id
+hash and its source's configured rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: scheme://HOST[:port]/... -> HOST (lowercased); '' when no match
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+#: last two dot-labels of the host — the eTLD+1 approximation used when no
+#: public-suffix list is shipped (site0.example.com -> example.com)
+_REG_DOMAIN_RE = "([^.]+\\.[^.]+)$"
+
+
+def domain_col(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def registered_domain_col(url: Column) -> Column:
+    return F.regexp_extract(domain_col(url), _REG_DOMAIN_RE, 1)
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """-> (domain, n_docs, total_chars, avg_chars): dataset-card numbers
+    per host. One map-side-combining shuffle."""
+    return (
+        pages.select(
+            domain_col(F.col(url_col)).alias("domain"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_chars"),
+            F.round(F.avg("n"), 6).alias("avg_chars"),
+        )
+    )
+
+
+def cap_per_domain(
+    pages: DataFrame, max_docs: int, url_col: str = "url"
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per domain, selected in md5(url)
+    order (an unbiased, engine-reproducible shuffle of each domain's docs;
+    ties broken by the url itself, so the result is a pure function of the
+    data)."""
+    w = Window.partitionBy(domain_col(F.col(url_col))).orderBy(
+        F.md5(F.col(url_col)), F.col(url_col)
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )
+
+
+def mixture_thin(
+    df: DataFrame,
+    rates: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-source thinning to training-mixture rates.
+
+    ``rates`` maps source -> keep fraction in [0, 1]; a row survives iff
+    its md5(id) bucket (of ``buckets``) falls below ``rate * buckets``.
+    Sources absent from ``rates`` keep everything. Pure map — the decision
+    is a function of the row alone, so the sample is stable under
+    re-partitioning, re-runs, appends, and engine choice (the same
+    property `docs_split` relies on)."""
+    # same md5-bucket idiom as docs_split, salted ':mix' so the mixture
+    # decision is independent of the train/val/test assignment
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    thresholds = F.create_map(
+        *[x for s, r in sorted(rates.items()) for x in (F.lit(s), F.lit(int(round(r * buckets))))]
+    )
+    thr = F.coalesce(thresholds[F.col(source_col)], F.lit(buckets))
+    return df.filter(bucket < thr)
+
+
+def mixture_thin_oracle_sql(
+    source_sql: str,
+    rates: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> str:
+    """Independent DuckDB twin of :func:`mixture_thin`."""
+    cases = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(round(r * buckets))}"
+        for s, r in sorted(rates.items())
+    )
+    return f"""
+SELECT * FROM ({source_sql})
+WHERE CAST(('0x' || substr(md5({id_col}::varchar || ':mix'), 1, 8))::BIGINT
+           AS BIGINT) % {buckets}
+      < (CASE {cases} ELSE {buckets} END)
+"""
+
+
+def domain_stats_oracle_sql(pages_glob: str) -> str:
+    """Independent DuckDB twin of :func:`domain_stats`."""
+    return f"""
+SELECT lower(regexp_extract(url, '{_HOST_RE}', 1)) AS domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       round(avg(length(coalesce(text, ''))), 6) AS avg_chars
+FROM read_parquet('{pages_glob}')
+GROUP BY 1
+"""
+
+
+def cap_per_domain_oracle_sql(pages_glob: str, max_docs: int) -> str:
+    """Independent DuckDB twin of :func:`cap_per_domain` (url column only,
+    to keep the compared payload engine-neutral)."""
+    return f"""
+SELECT url FROM (
+  SELECT url, row_number() OVER (
+    PARTITION BY lower(regexp_extract(url, '{_HOST_RE}', 1))
+    ORDER BY md5(url), url
+  ) AS rn
+  FROM read_parquet('{pages_glob}')
+) WHERE rn <= {max_docs}
+"""
