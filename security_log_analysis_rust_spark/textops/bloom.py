@@ -146,6 +146,55 @@ def bloom_maybe_contains(
     return df.withColumn(out_col, _probe(shard, positions))
 
 
+class StreamingBloomDedup:
+    """Cross-batch incremental dedup for a ``foreachBatch`` streaming sink.
+
+    Each micro-batch is (1) probed against the running filter of everything
+    already emitted (cross-batch dups dropped), (2) de-duplicated within
+    itself, (3) handed to ``emit``, and (4) folded into the filter via
+    bitset union. The filter is the ONLY cross-batch state — O(filter
+    bytes) on the driver, zero re-scan of history per batch.
+
+    Restart recovery: the filter is derived state — rebuild it with
+    :meth:`from_history` over the sink's existing output (one scan at
+    startup, the same cost contract as the engine's watermark recovery).
+    """
+
+    def __init__(
+        self,
+        col: str,
+        emit,
+        n_bits: int = 1 << 20,
+        k: int = 5,
+        shards: int = 1,
+    ):
+        self.col, self.emit = col, emit
+        self.n_bits, self.k, self.shards = n_bits, k, shards
+        self.bloom: SparkBloom | None = None
+
+    @classmethod
+    def from_history(
+        cls, history: DataFrame, col: str, emit, n_bits: int = 1 << 20,
+        k: int = 5, shards: int = 1,
+    ) -> "StreamingBloomDedup":
+        inst = cls(col, emit, n_bits=n_bits, k=k, shards=shards)
+        inst.bloom = bloom_build(history, col, n_bits=n_bits, k=k, shards=shards)
+        return inst
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        kept = batch_df.dropDuplicates([self.col])
+        if self.bloom is not None:
+            kept = bloom_filter_new(kept, self.col, self.bloom)
+        # pin the survivors: emit and filter-build must see the same rows,
+        # and the union below must not recompute the probe
+        kept = kept.localCheckpoint(eager=True)
+        self.emit(kept, batch_id)
+        delta = bloom_build(
+            kept, self.col, n_bits=self.n_bits, k=self.k, shards=self.shards
+        )
+        self.bloom = delta if self.bloom is None else self.bloom.union(delta)
+
+
 def bloom_filter_new(df: DataFrame, col: str, bloom: SparkBloom) -> DataFrame:
     """Rows of ``df`` definitely NOT in the build corpus (lossy dedup: a
     false positive drops a genuinely-new row; no duplicate ever survives).

@@ -150,3 +150,58 @@ def test_build_plan_is_one_exchange(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_streaming_cross_batch_dedup(spark, tmp_path):
+    """Real Structured Streaming drive: foreachBatch + StreamingBloomDedup
+    drops within-batch AND cross-batch duplicates; a restarted instance
+    rebuilt from the sink's history keeps the guarantee."""
+    import json
+
+    from security_log_analysis_rust_spark.textops.bloom import (
+        StreamingBloomDedup,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def emit(df, batch_id):
+        emitted.append([r.fp for r in df.collect()])
+
+    dedup = StreamingBloomDedup("fp", emit, n_bits=1 << 14, k=5)
+
+    def run_available():
+        q = (
+            spark.readStream.schema("fp string")
+            .json(str(indir))
+            .writeStream.foreachBatch(dedup.process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (indir / "b1.json").write_text(
+        "\n".join(json.dumps({"fp": v}) for v in ["A", "B", "A", "C"])
+    )
+    run_available()
+    assert sorted(x for b in emitted for x in b) == ["A", "B", "C"]
+
+    (indir / "b2.json").write_text(
+        "\n".join(json.dumps({"fp": v}) for v in ["B", "D"])
+    )
+    run_available()
+    assert sorted(x for b in emitted for x in b) == ["A", "B", "C", "D"]
+
+    # restart: rebuild the filter from emitted history, not driver memory
+    history = spark.createDataFrame(
+        [(v,) for b in emitted for v in b], ["fp"]
+    )
+    dedup2 = StreamingBloomDedup.from_history(
+        history, "fp", emit, n_bits=1 << 14, k=5
+    )
+    batch3 = spark.createDataFrame([("A",), ("E",)], ["fp"])
+    dedup2.process(batch3, 99)
+    assert sorted(x for b in emitted for x in b) == ["A", "B", "C", "D", "E"]
