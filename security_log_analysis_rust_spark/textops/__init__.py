@@ -1,12 +1,19 @@
 """Training-data pipeline operators: dedup, similarity, text analysis,
-multimodal plumbing.
+multimodal plumbing, corpus assembly.
 
 The exact/minhash/jaccard dedup and langid/quality/token/fingerprint ops are
 exposed (with DuckDB oracles) in ``__spark_entry__``; this package holds the
 operators that need more than single-statement SQL: simhash (band-blocked
 near-dups), the ANN stack (distributed brute-force baseline, hyperplane-LSH
 and IVF top-k with per-bucket numpy kernels, LSH-bucketed cosine near-dup
-dedup), and the multimodal decode plumbing (real PNG/WAV header parsers,
-stubbed pixel codecs). Every operator still carries a DuckDB oracle via
-shared deterministic literals (seeded planes / md5-sampled centroids).
+dedup), the multimodal decode stack (real PNG/JPEG/GIF/BMP/WAV pixel+sample
+decoders; MP3/AAC/FLAC/Ogg audio header walks; MP4/WebM video structure
+walks), and the corpus-assembly family: C4-style cleanup with corpus-global
+line dedup (``c4``), sharded Bloom-filter incremental dedup with a streaming
+foreachBatch variant (``bloom``), per-domain stats/caps + deterministic
+mixture thinning (``domains``), bigram-LM perplexity scoring (``lm``), and
+sequence packing via a two-phase distributed prefix sum (``pack``). Every
+operator carries a DuckDB oracle — via shared deterministic literals
+(seeded planes / md5-sampled centroids) or a generated SQL twin — checked
+with the driver's own comparator in tests.
 """
