@@ -11,8 +11,10 @@ decoders; MP3/AAC/FLAC/Ogg audio header walks; MP4/WebM video structure
 walks), and the corpus-assembly family: C4-style cleanup with corpus-global
 line dedup (``c4``), sharded Bloom-filter incremental dedup with a streaming
 foreachBatch variant (``bloom``), per-domain stats/caps + deterministic
-mixture thinning (``domains``), bigram-LM perplexity scoring (``lm``), and
-sequence packing via a two-phase distributed prefix sum (``pack``). Every
+mixture thinning (``domains``), bigram-LM perplexity scoring (``lm``),
+sequence packing via a two-phase distributed prefix sum (``pack``),
+exact-substring span dedup (``exactsubstr``, Lee et al. ACL'22), and
+semantic embedding-space dedup (``semdedup``, Abbas et al. 2023). Every
 operator carries a DuckDB oracle — via shared deterministic literals
 (seeded planes / md5-sampled centroids) or a generated SQL twin — checked
 with the driver's own comparator in tests.
