@@ -161,6 +161,39 @@ def run_headline(spark, sf_dir: str, trials: int = 2) -> dict:
     ).count()  # self-probe: 0 by the no-false-negative guarantee
     extras["bloom_build_probe_sec"] = round(time.time() - t0, 3)
 
+    # extras: ExactSubstr span dedup over documents and SemDeDup over the
+    # embeddings table (auto-sized cluster count)
+    from security_log_analysis_rust_spark.textops.exactsubstr import (
+        exact_substr_dedup,
+    )
+    from security_log_analysis_rust_spark.textops.semdedup import semdedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t0 = time.time()
+    agg = exact_substr_dedup(docs, min_len=3).agg(
+        F.count("*"), F.sum("n_removed")
+    ).collect()[0]
+    extras["exactsubstr_docs_rows"] = agg[0]
+    extras["exactsubstr_tokens_removed"] = int(agg[1] or 0)
+    extras["exactsubstr_sec"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_emb = emb.count()
+    t0 = time.time()
+    extras["semdedup_dropped"] = (
+        semdedup(
+            emb, threshold=0.35, n_centroids=None,
+            n_vectors=n_emb, target_cluster=256,
+        )
+        .filter(~F.col("kept"))
+        .count()
+    )
+    extras["semdedup_sec"] = round(time.time() - t0, 3)
+
     best = {k: min(t[k] for t in trial_times) for k in trial_times[0]}
     return {"times": best, "trials": trial_times, "extras": extras}
 
