@@ -152,3 +152,106 @@ SELECT url FROM (
   FROM read_parquet('{pages_glob}')
 ) WHERE rn <= {max_docs}
 """
+
+
+#: scheme://authority[path][?query] after the fragment is stripped
+_URL_PARTS_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://([^/?#]+)([^?#]*)(.*)$"
+#: tracking query parameters dropped by canonicalization (CCNet/RefinedWeb
+#: treat these as presentation noise, not content identity)
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)($|=)"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """URL canonicalization for URL-level dedup (the CCNet/RefinedWeb
+    pre-pass before any content hashing): lowercase scheme and host, strip
+    the scheme's default port (:80 / :443), drop the fragment, drop
+    tracking query params (utm_*, fbclid, gclid — order of survivors
+    preserved), and normalize the path's trailing slashes ('' -> '/',
+    '/a/' -> '/a'). Strings that don't parse as scheme://host URLs pass
+    through unchanged. Pure JVM expressions — usable inside any filter or
+    groupBy without a UDF."""
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _URL_PARTS_RE, 1))
+    authority = F.lower(F.regexp_extract(nofrag, _URL_PARTS_RE, 2))
+    host = F.when(
+        scheme == "http", F.regexp_replace(authority, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(authority, ":443$", "")
+    ).otherwise(authority)
+    raw_path = F.regexp_extract(nofrag, _URL_PARTS_RE, 3)
+    stripped = F.regexp_replace(raw_path, "/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    raw_q = F.regexp_replace(F.regexp_extract(nofrag, _URL_PARTS_RE, 4), r"^\?", "")
+    params = F.filter(
+        F.split(raw_q, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, path, query)
+    return F.when(scheme == "", url).otherwise(canon)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", order_cols: list | None = None
+) -> DataFrame:
+    """Keep one row per canonical URL — the row ranked first by
+    ``order_cols`` (default: the raw URL, so the survivor is a pure
+    function of the data). One shuffle on the canonical URL, a naturally
+    high-cardinality key. Output keeps the input columns unchanged."""
+    order_cols = order_cols or [url_col]
+    w = Window.partitionBy(canonical_url_col(F.col(url_col))).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def canonical_url_oracle_expr(url_expr: str = "url") -> str:
+    """Independent DuckDB expression mirroring :func:`canonical_url_col`
+    (RE2 regexes + list_filter; no shared code)."""
+    re = _URL_PARTS_RE.replace("\\-", "-")
+    nofrag = f"regexp_replace({url_expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({nofrag}, '{re}', 1))"
+    auth = f"lower(regexp_extract({nofrag}, '{re}', 2))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '') "
+        f"ELSE {auth} END"
+    )
+    stripped = f"regexp_replace(regexp_extract({nofrag}, '{re}', 3), '/+$', '')"
+    path = f"(CASE WHEN {stripped} = '' THEN '/' ELSE {stripped} END)"
+    raw_q = (
+        f"regexp_replace(regexp_extract({nofrag}, '{re}', 4), '^\\?', '')"
+    )
+    params = (
+        f"list_filter(string_split({raw_q}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))"
+    )
+    query = (
+        f"(CASE WHEN len({params}) > 0 "
+        f"THEN '?' || array_to_string({params}, '&') ELSE '' END)"
+    )
+    return (
+        f"(CASE WHEN {scheme} = '' THEN {url_expr} "
+        f"ELSE {scheme} || '://' || {host} || {path} || {query} END)"
+    )
+
+
+def url_dedup_oracle_sql(
+    source_sql: str, url_col: str = "url", order_cols: list | None = None
+) -> str:
+    """Independent DuckDB twin of :func:`url_dedup` (url column only)."""
+    order_cols = order_cols or [url_col]
+    order = ", ".join(order_cols)
+    return f"""
+SELECT {url_col} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {canonical_url_oracle_expr(url_col)} ORDER BY {order}
+  ) AS rn FROM ({source_sql})
+) WHERE rn = 1
+"""

@@ -134,3 +134,77 @@ def test_mixture_thin_is_append_stable(spark):
         for r in mixture_thin(part, rates).collect()
     )
     assert whole == parts
+
+
+def test_canonical_url_hand_cases(spark):
+    from security_log_analysis_rust_spark.textops.domains import (
+        canonical_url_col,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&q=1#frag",
+         "http://example.com/a/b?q=1"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/a?utm_source=1&utm_medium=2",
+         "https://example.com/a"),
+        ("ftp://Host:21/x", "ftp://host:21/x"),  # non-http port kept
+        ("not a url", "not a url"),  # unparseable passes through
+        ("https://example.com/a?fbclid=abc&b=2&a=1",
+         "https://example.com/a?b=2&a=1"),  # survivor order preserved
+        ("https://example.com/a///", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonical_url_col(F.col("url")).alias("c")).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, f"{raw!r}: {got[raw]!r} != {want!r}"
+
+
+def test_url_dedup_oracle_parity_and_semantics(spark):
+    import duckdb
+
+    from security_log_analysis_rust_spark.textops.domains import (
+        url_dedup,
+        url_dedup_oracle_sql,
+    )
+
+    # synthetic pages plus crafted variants that canonicalize identically
+    pages, _ = _pages(spark)
+    variants = pages.limit(40).selectExpr(
+        "concat(url, '?utm_source=feed#top') AS url", "text"
+    )
+    upper = pages.limit(10).selectExpr(
+        "concat('HTTPS', substring(url, 6)) AS url", "text"
+    )
+    corpus = pages.unionByName(variants).unionByName(upper)
+    got_df = url_dedup(corpus)
+    got = got_df.select("url").toPandas()
+    rows = [(r.url,) for r in corpus.select("url").collect()]
+    values = ", ".join(f"({u!r})" for (u,) in rows)
+    oracle = duckdb.sql(
+        url_dedup_oracle_sql(f"SELECT * FROM (VALUES {values}) AS t(url)")
+    ).df()
+    problems = compare_frames(got, oracle)
+    assert not problems, "; ".join(p[:400] for p in problems)
+    # every crafted variant collapsed onto its base: count unchanged
+    assert got_df.count() == pages.count()
+    # survivor is the order_cols minimum (raw url: 'HTTPS...' < 'https...')
+    kept = set(got["url"])
+    for r in upper.select("url").collect():
+        assert r.url in kept
+
+
+def test_url_dedup_partitioning_invariance(spark):
+    from security_log_analysis_rust_spark.textops.domains import url_dedup
+
+    pages, _ = _pages(spark)
+    corpus = pages.unionByName(
+        pages.limit(25).selectExpr("concat(url, '#x') AS url", "text")
+    )
+    a = sorted(r.url for r in url_dedup(corpus.coalesce(1)).collect())
+    b = sorted(r.url for r in url_dedup(corpus.repartition(32)).collect())
+    assert a == b
