@@ -13,8 +13,10 @@ line dedup (``c4``), sharded Bloom-filter incremental dedup with a streaming
 foreachBatch variant (``bloom``), per-domain stats/caps + deterministic
 mixture thinning (``domains``), bigram-LM perplexity scoring (``lm``),
 sequence packing via a two-phase distributed prefix sum (``pack``),
-exact-substring span dedup (``exactsubstr``, Lee et al. ACL'22), and
-semantic embedding-space dedup (``semdedup``, Abbas et al. 2023). Every
+exact-substring span dedup (``exactsubstr``, Lee et al. ACL'22),
+semantic embedding-space dedup (``semdedup``, Abbas et al. 2023),
+URL canonicalization + URL dedup (``domains``), and distributed BPE
+tokenizer training (``bpe``, Sennrich ACL'16). Every
 operator carries a DuckDB oracle — via shared deterministic literals
 (seeded planes / md5-sampled centroids) or a generated SQL twin — checked
 with the driver's own comparator in tests.
