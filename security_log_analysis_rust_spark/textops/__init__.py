@@ -15,8 +15,9 @@ mixture thinning (``domains``), bigram-LM perplexity scoring (``lm``),
 sequence packing via a two-phase distributed prefix sum (``pack``),
 exact-substring span dedup (``exactsubstr``, Lee et al. ACL'22),
 semantic embedding-space dedup (``semdedup``, Abbas et al. 2023),
-URL canonicalization + URL dedup (``domains``), and distributed BPE
-tokenizer training (``bpe``, Sennrich ACL'16). Every
+URL canonicalization + URL dedup (``domains``), distributed BPE
+tokenizer training (``bpe``, Sennrich ACL'16), and DSIR importance
+resampling (``dsir``, Xie et al. NeurIPS'23). Every
 operator carries a DuckDB oracle — via shared deterministic literals
 (seeded planes / md5-sampled centroids) or a generated SQL twin — checked
 with the driver's own comparator in tests.
