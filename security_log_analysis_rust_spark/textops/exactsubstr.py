@@ -130,26 +130,19 @@ def _merge_spans(sorted_starts: Column, min_len: int) -> Column:
     )
 
 
-def exact_substr_dedup(
+def _rebuild_without(
     docs: DataFrame,
-    min_len: int = 50,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_tokens_kept: int = 1,
+    marked: DataFrame,
+    min_len: int,
+    id_col: str,
+    text_col: str,
+    min_tokens_kept: int,
 ) -> DataFrame:
-    """-> (id_col, text, n_tokens, n_removed): the corpus with every
-    duplicated >= ``min_len``-token span removed from all but its first
-    occurrence (ExactSubstr).
-
-    Contract: output ``text`` is whitespace-normalized — surviving tokens
-    joined by single spaces — because matching is over the whitespace
-    token sequence. Documents with fewer than ``min_len`` tokens pass
-    through (normalized) untouched; documents left with fewer than
-    ``min_tokens_kept`` tokens are dropped. Deterministic for a given
-    corpus regardless of partitioning.
-    """
-    dups = duplicate_windows(docs, min_len, id_col, text_col)
-    spans = dups.groupBy(id_col).agg(
+    """Remove every token covered by a marked window ``[pos, pos+min_len)``
+    and re-join the survivors with single spaces. ``marked`` is
+    ``(id_col, pos)``; shared tail of ExactSubstr and span-mode
+    decontamination."""
+    spans = marked.groupBy(id_col).agg(
         _merge_spans(F.sort_array(F.collect_list("pos")), min_len).alias("spans")
     )
     toks = docs.select(
@@ -184,6 +177,91 @@ def exact_substr_dedup(
     )
 
 
+def exact_substr_dedup(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens_kept: int = 1,
+) -> DataFrame:
+    """-> (id_col, text, n_tokens, n_removed): the corpus with every
+    duplicated >= ``min_len``-token span removed from all but its first
+    occurrence (ExactSubstr).
+
+    Contract: output ``text`` is whitespace-normalized — surviving tokens
+    joined by single spaces — because matching is over the whitespace
+    token sequence. Documents with fewer than ``min_len`` tokens pass
+    through (normalized) untouched; documents left with fewer than
+    ``min_tokens_kept`` tokens are dropped. Deterministic for a given
+    corpus regardless of partitioning.
+    """
+    dups = duplicate_windows(docs, min_len, id_col, text_col)
+    return _rebuild_without(
+        docs, dups, min_len, id_col, text_col, min_tokens_kept
+    )
+
+
+def contaminated_windows(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """-> (id_col, pos): every corpus window whose ``n``-token text also
+    occurs anywhere in the benchmark set. The benchmark side reduces to a
+    DISTINCT hash dim (eval suites are thousands of documents, so the dim
+    is broadcast — no shuffle of the corpus windows)."""
+    occ = (
+        docs.select(
+            F.col(id_col), _windows(_tokens(F.col(text_col)), n).alias("ws")
+        )
+        .select(id_col, F.explode("ws").alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    bench_h = (
+        bench.select(_windows(_tokens(F.col(bench_text_col)), n).alias("ws"))
+        .select(F.explode("ws").alias("w"))
+        .select(F.col("w.h").alias("h"))
+        .distinct()
+    )
+    return occ.join(F.broadcast(bench_h), "h").select(id_col, "pos")
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    mode: str = "excise",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_tokens_kept: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Llama eval-hygiene
+    pass): remove training text that overlaps an evaluation set in any
+    ``n``-token window (GPT-3 uses 13-grams).
+
+    ``mode='drop'`` removes every document containing at least one
+    overlapping window and returns ``(id_col, text_col)`` with the
+    surviving documents' text untouched. ``mode='excise'`` cuts only the
+    overlapping spans (merged per document) and returns the
+    whitespace-normalized ``(id_col, text, n_tokens, n_removed)`` shape of
+    :func:`exact_substr_dedup`; unlike dedup there is no "first occurrence
+    kept" — every contaminated span is removed. Deterministic for a given
+    corpus regardless of partitioning.
+    """
+    marked = contaminated_windows(docs, bench, n, id_col, text_col, bench_text_col)
+    if mode == "drop":
+        return docs.join(
+            marked.select(id_col).distinct(), id_col, "left_anti"
+        ).select(id_col, text_col)
+    if mode != "excise":
+        raise ValueError(f"unknown decontaminate mode: {mode!r}")
+    return _rebuild_without(docs, marked, n, id_col, text_col, min_tokens_kept)
+
+
 def exact_substr_oracle_sql(
     source_sql: str,
     min_len: int = 50,
@@ -200,7 +278,18 @@ def exact_substr_oracle_sql(
     L = int(min_len)
     return f"""
 WITH src AS ({source_sql}),
-toks AS (
+{_raw_toks_wins_sql(id_col, L)},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY {id_col}, pos) AS rn
+  FROM wins
+),
+dups AS (SELECT {id_col}, pos FROM ranked WHERE rn > 1),
+{_span_removal_tail_sql(id_col, L, min_tokens_kept)}
+"""
+
+
+def _raw_toks_wins_sql(id_col: str, L: int) -> str:
+    return f"""toks AS (
   SELECT {id_col},
          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
   FROM src
@@ -210,13 +299,13 @@ wins AS (
          CAST(i AS BIGINT) AS pos,
          md5(array_to_string(tokens[i + 1 : i + {L}], ' ')) AS h
   FROM toks, unnest(generate_series(0, len(tokens) - {L})) AS u(i)
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY h ORDER BY {id_col}, pos) AS rn
-  FROM wins
-),
-dups AS (SELECT {id_col}, pos FROM ranked WHERE rn > 1),
-marked AS (
+)"""
+
+
+def _span_removal_tail_sql(id_col: str, L: int, min_tokens_kept: int) -> str:
+    """CTE chain consuming ``dups (id, pos)`` + ``toks``: gaps-and-islands
+    span merge, range anti-join token removal, rebuild."""
+    return f"""marked AS (
   SELECT {id_col}, pos,
          CASE WHEN pos > coalesce(
              max(pos + {L}) OVER (PARTITION BY {id_col} ORDER BY pos
@@ -255,5 +344,44 @@ rebuilt AS (
          CAST(any_value(n) - count(*) AS BIGINT) AS n_removed
   FROM kept GROUP BY {id_col}
 )
-SELECT * FROM rebuilt WHERE n_tokens >= {int(min_tokens_kept)}
+SELECT * FROM rebuilt WHERE n_tokens >= {int(min_tokens_kept)}"""
+
+
+def decontaminate_oracle_sql(
+    source_sql: str,
+    bench_sql: str,
+    n: int = 13,
+    mode: str = "excise",
+    id_col: str = "doc_id",
+    min_tokens_kept: int = 1,
+) -> str:
+    """Independent DuckDB twin of :func:`decontaminate` over ``source_sql``
+    and ``bench_sql`` (relations exposing ``(id_col, text)`` / ``text``)."""
+    L = int(n)
+    head = f"""
+WITH src AS ({source_sql}),
+{_raw_toks_wins_sql(id_col, L)},
+bsrc AS ({bench_sql}),
+btoks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+  FROM bsrc
+),
+bwins AS (
+  SELECT DISTINCT md5(array_to_string(tokens[i + 1 : i + {L}], ' ')) AS h
+  FROM btoks, unnest(generate_series(0, len(tokens) - {L})) AS u(i)
+),
+dups AS (
+  SELECT w.{id_col}, w.pos FROM wins w JOIN bwins USING (h)
+)"""
+    if mode == "drop":
+        return (
+            head
+            + f""",
+dirty AS (SELECT DISTINCT {id_col} FROM dups)
+SELECT s.{id_col}, s.text FROM src s
+WHERE NOT EXISTS (SELECT 1 FROM dirty d WHERE d.{id_col} = s.{id_col})
 """
+        )
+    if mode != "excise":
+        raise ValueError(f"unknown decontaminate mode: {mode!r}")
+    return head + ",\n" + _span_removal_tail_sql(id_col, L, min_tokens_kept) + "\n"

@@ -122,3 +122,66 @@ def test_exact_substr_partitioning_invariance(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_decontaminate_hand_semantics(spark):
+    from security_log_analysis_rust_spark.textops.exactsubstr import (
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "a b c d e f g h"),
+            ("b", "x x a b c d e f g h y y"),
+            ("c", "p q r s p q r s p q r s"),
+            ("e", "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("c d e f",)], ["text"])
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in decontaminate(docs, bench, n=4, mode="excise").collect()
+    }
+    # every contaminated span cut — no first-occurrence exemption
+    assert got["a"] == ("a b g h", 4, 4)
+    assert got["b"] == ("x x a b g h y y", 8, 4)
+    assert got["c"] == ("p q r s p q r s p q r s", 12, 0)
+    assert got["e"] == ("tiny doc", 2, 0)
+    dropped = {
+        r.doc_id: r.text
+        for r in decontaminate(docs, bench, n=4, mode="drop").collect()
+    }
+    assert set(dropped) == {"c", "e"}
+    assert dropped["c"] == "p q r s p q r s p q r s"  # text untouched
+
+
+def test_decontaminate_oracle_parity_pages(spark):
+    from security_log_analysis_rust_spark.textops.exactsubstr import (
+        decontaminate,
+        decontaminate_oracle_sql,
+    )
+
+    pages, glob = _pages(spark)
+    bench = pages.orderBy("url").limit(3).select("text")
+    raw_sql = f"SELECT url, text FROM read_parquet('{glob}')"
+    bench_sql = (
+        f"SELECT text FROM (SELECT * FROM read_parquet('{glob}') "
+        f"ORDER BY url LIMIT 3)"
+    )
+    con = duck_connection(TESTDATA)
+    try:
+        for mode in ("excise", "drop"):
+            got = decontaminate(
+                pages, bench, n=8, mode=mode, id_col="url"
+            ).toPandas()
+            oracle = con.sql(
+                decontaminate_oracle_sql(
+                    raw_sql, bench_sql, n=8, mode=mode, id_col="url"
+                )
+            ).df()
+            problems = compare_frames(got, oracle)
+            assert not problems, f"{mode}: " + "; ".join(p[:400] for p in problems)
+            assert len(got) < pages.count(), f"{mode} must bite"
+    finally:
+        con.close()
