@@ -67,6 +67,27 @@ def _windows(tokens: Column, min_len: int) -> Column:
     ).otherwise(F.array().cast("array<struct<pos:bigint,h:string>>"))
 
 
+def _occurrences(
+    docs: DataFrame, min_len: int, id_col: str, text_col: str
+) -> DataFrame:
+    """-> (id_col, pos, h): every window occurrence, exploded to rows.
+
+    The token array is materialized under an explode-barrier
+    (``explode(array(lit(1)))`` — the same move as :mod:`.winnow`'s plan
+    note) so the window lambda slices a bound ATTRIBUTE; without the
+    barrier CollapseProject inlines the tokenization into the lambda and
+    Catalyst re-evaluates the whole ``split()`` once PER WINDOW — measured
+    258 s for 5.3M windows at 32 cores versus seconds with the barrier."""
+    toks = docs.select(
+        F.col(id_col),
+        _tokens(F.col(text_col)).alias("__tokens"),
+        F.explode(F.array(F.lit(1))).alias("__b"),
+    )
+    return toks.select(
+        id_col, F.explode(_windows(F.col("__tokens"), min_len)).alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+
 def duplicate_windows(
     docs: DataFrame,
     min_len: int,
@@ -77,13 +98,7 @@ def duplicate_windows(
     corpus-global first occurrence of its window text ("first" = minimum
     ``(id, pos)``; within-document repetitions count as duplicates too,
     exactly as the paper's suffix array sees them)."""
-    occ = (
-        docs.select(
-            F.col(id_col), _windows(_tokens(F.col(text_col)), min_len).alias("ws")
-        )
-        .select(id_col, F.explode("ws").alias("w"))
-        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    )
+    occ = _occurrences(docs, min_len, id_col, text_col)
     firsts = occ.groupBy("h").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
             "_first"
@@ -213,17 +228,15 @@ def contaminated_windows(
     occurs anywhere in the benchmark set. The benchmark side reduces to a
     DISTINCT hash dim (eval suites are thousands of documents, so the dim
     is broadcast — no shuffle of the corpus windows)."""
-    occ = (
-        docs.select(
-            F.col(id_col), _windows(_tokens(F.col(text_col)), n).alias("ws")
-        )
-        .select(id_col, F.explode("ws").alias("w"))
-        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    )
+    occ = _occurrences(docs, n, id_col, text_col)
     bench_h = (
-        bench.select(_windows(_tokens(F.col(bench_text_col)), n).alias("ws"))
-        .select(F.explode("ws").alias("w"))
-        .select(F.col("w.h").alias("h"))
+        _occurrences(
+            bench.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
+            n,
+            "__bid",
+            bench_text_col,
+        )
+        .select("h")
         .distinct()
     )
     return occ.join(F.broadcast(bench_h), "h").select(id_col, "pos")
