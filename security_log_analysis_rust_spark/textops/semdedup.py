@@ -26,7 +26,13 @@ is one shuffle on ``cid`` into an ``applyInPandas`` kernel whose cost is
 one |cluster|² matmul, so ``n_centroids`` must grow with the corpus:
 size it ~N/``target_cluster`` (:func:`semdedup_n_centroids`) to hold the
 per-cluster work at target² — the paper runs k=110k clusters for LAION
-at web scale for exactly this reason.
+at web scale for exactly this reason. Stated limit: coarse assignment
+itself costs N x K dot products (identical to the k-means assignment
+step the paper runs); at extreme K the standard fix is a two-level
+centroid hierarchy (route through ~sqrt(K) super-centroids first),
+which changes assignment from exact-nearest to approximate and is
+deliberately NOT implemented — the oracle pairing certifies the exact
+rule.
 """
 
 from __future__ import annotations
