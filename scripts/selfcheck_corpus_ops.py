@@ -197,6 +197,29 @@ def main():
     print("bpe_train_vs_reference", "OK" if ok else "FAIL",
           results["bpe_train_vs_reference"]["sec"], "s")
 
+    # --- Quality classifier: train on source labels, score+select ALL docs,
+    # composed score->pareto oracle with the trained weights pinned in SQL
+    from security_log_analysis_rust_spark.textops.classifier import (
+        pareto_select,
+        pareto_select_oracle_sql,
+        score_docs_classifier,
+        score_oracle_sql,
+        train_classifier,
+    )
+
+    t0 = time.time()
+    train = docs.withColumn(
+        "label", F.col("source").isin("src0", "src1").cast("int")
+    )
+    model = train_classifier(train, dim=4096, lr=2.0, iters=5, l2=1e-4)
+    got = pareto_select(score_docs_classifier(docs, model)).toPandas()
+    oracle = con.sql(
+        pareto_select_oracle_sql(
+            score_oracle_sql("SELECT doc_id, text FROM documents", model)
+        )
+    ).df()
+    record("quality_classifier_select", got, oracle, t0)
+
     con.close()
     n_ok = sum(1 for r in results.values() if r["hash_match"])
     out = {

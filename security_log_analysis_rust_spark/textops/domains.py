@@ -128,6 +128,55 @@ WHERE CAST(('0x' || substr(md5({id_col}::varchar || ':mix'), 1, 8))::BIGINT
 """
 
 
+def plan_mixture(
+    avail: dict,
+    weights: dict,
+    budget: float,
+) -> dict:
+    """Token-budget waterfilling: keep rates that realize a target
+    mixture under per-source supply constraints.
+
+    ``avail`` maps source -> available tokens, ``weights`` maps source ->
+    target mixture proportion (need not sum to 1 — normalized here),
+    ``budget`` is the total token budget. Returns source -> keep rate in
+    [0, 1] for :func:`mixture_thin`.
+
+    Semantics: take ``min(avail_s, lam * w_s)`` tokens from each source,
+    with ``lam`` the unique level at which the takes sum to the budget —
+    i.e. the mixture matches the target weights exactly until a source
+    runs out of supply, and its unmet demand is re-spread over the
+    remaining sources at THEIR relative weights (the standard
+    waterfilling solution; DoReMi-style weights plug straight in as
+    ``weights``). If the whole corpus is smaller than the budget, every
+    rate is 1.0. Driver-side O(S log S) arithmetic on the per-source
+    aggregate — the data never moves.
+    """
+    if budget <= 0:
+        return {s: 0.0 for s in avail}
+    sources = [s for s in avail if weights.get(s, 0.0) > 0 and avail[s] > 0]
+    rates = {s: 0.0 for s in avail}
+    if sum(avail[s] for s in sources) <= budget:
+        for s in sources:
+            rates[s] = 1.0
+        return rates
+    # sources saturate in order of avail/weight; find the level lam where
+    # saturated supply + lam * (active weight mass) == budget
+    order = sorted(sources, key=lambda s: (avail[s] / weights[s], s))
+    taken = 0.0
+    wmass = sum(weights[s] for s in sources)
+    for k, s in enumerate(order):
+        lam = (budget - taken) / wmass
+        if avail[s] / weights[s] >= lam:
+            # no further source saturates: everyone active takes lam*w
+            for t in order[k:]:
+                rates[t] = (lam * weights[t]) / avail[t]
+            break
+        rates[s] = 1.0
+        taken += avail[s]
+        wmass -= weights[s]
+    return rates
+
+
 def domain_stats_oracle_sql(pages_glob: str) -> str:
     """Independent DuckDB twin of :func:`domain_stats`."""
     return f"""
