@@ -65,6 +65,7 @@ def semdedup(
     vec_col: str = "embedding",
     n_vectors: int | None = None,
     target_cluster: int = 4096,
+    centroid_vectors: list | None = None,
 ) -> DataFrame:
     """-> (vec_id, cid, csim, kept): every vector with its cluster id, its
     (rounded) cosine to the cluster centroid, and the SemDeDup verdict.
@@ -76,28 +77,39 @@ def semdedup(
     eps around 0.95 for LAION). ``n_centroids=None`` auto-sizes via
     :func:`semdedup_n_centroids`. Deterministic for a given corpus
     regardless of partitioning.
+
+    ``centroid_vectors`` (optional) replaces the md5-sampled centroids
+    with caller-supplied ones — e.g. trained :func:`.kmeans.kmeans_fit`
+    output, the paper's actual clustering. The default (None) keeps the
+    SQL-oracle-certified sampling path.
     """
     if not threshold > 0:
         raise ValueError("SemDeDup threshold must be positive")
     spark = emb.sparkSession
-    if n_centroids is None:
-        n_centroids = semdedup_n_centroids(
-            emb.count() if n_vectors is None else n_vectors, target_cluster
-        )
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
-    cent_rows = (
-        base.withColumn(
-            "__h", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}")))
+    if centroid_vectors is not None:
+        cent_pairs = [
+            (i, [float(x) for x in c]) for i, c in enumerate(centroid_vectors)
+        ]
+    else:
+        if n_centroids is None:
+            n_centroids = semdedup_n_centroids(
+                emb.count() if n_vectors is None else n_vectors, target_cluster
+            )
+        cent_rows = (
+            base.withColumn(
+                "__h",
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))),
+            )
+            .orderBy("__h", "vec_id")
+            .limit(n_centroids)
+            .collect()
         )
-        .orderBy("__h", "vec_id")
-        .limit(n_centroids)
-        .collect()
-    )
+        cent_pairs = [
+            (i, [float(x) for x in r["v"]]) for i, r in enumerate(cent_rows)
+        ]
     cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in r["v"]]) for i, r in enumerate(cent_rows)],
-            "cid int, cv array<double>",
-        )
+        spark.createDataFrame(cent_pairs, "cid int, cv array<double>")
     )
     csim = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
     scored = base.join(cent_df).select("vec_id", "v", "cid", csim.alias("csim"))
