@@ -194,6 +194,40 @@ def run_headline(spark, sf_dir: str, trials: int = 2) -> dict:
     )
     extras["semdedup_sec"] = round(time.time() - t0, 3)
 
+    # extras: quality-classifier train+score+Pareto-select over documents,
+    # and the deterministic shuffle-shard output step over the raw pages
+    from security_log_analysis_rust_spark.textops.classifier import (
+        pareto_select,
+        score_docs_classifier,
+        train_classifier,
+    )
+    from security_log_analysis_rust_spark.textops.shard import shuffle_shards
+
+    docs_src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    t0 = time.time()
+    model = train_classifier(
+        docs_src.withColumn(
+            "label", F.col("source").isin("src0", "src1").cast("int")
+        ),
+        dim=4096, lr=2.0, iters=5, l2=1e-4,
+    )
+    extras["classifier_kept"] = pareto_select(
+        score_docs_classifier(docs_src, model)
+    ).count()
+    extras["classifier_train_score_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    srow = (
+        shuffle_shards(pages, n_shards=64, id_col="url")
+        .agg(F.count("*"), F.max("pos"))
+        .collect()[0]
+    )
+    extras["shard_rows"] = srow[0]
+    extras["shard_max_pos"] = srow[1]
+    extras["shuffle_shard_sec"] = round(time.time() - t0, 3)
+
     best = {k: min(t[k] for t in trial_times) for k in trial_times[0]}
     return {"times": best, "trials": trial_times, "extras": extras}
 
