@@ -33,6 +33,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 DHASH_SCHEMA = StructType(
@@ -125,4 +126,37 @@ def image_near_dups(
         max_hamming=max_hamming,
         n_bands=n_bands,
         bucket_cap=DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap,
+    )
+
+
+def image_dedup_kept(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_bands: int = 8,
+) -> DataFrame:
+    """-> (media_id, cluster_id, kept): full perceptual image dedup —
+    near-dup pairs resolved to connected components (the same
+    :func:`.cluster.connected_components` machinery as the text dedup
+    stack, large-star/small-star fallback included) with the min-id
+    member of each cluster kept. Undecodable images have no perceptual
+    identity, hence no row (same contract as :func:`dhash_images`)."""
+    from .cluster import connected_components
+
+    sigs = dhash_images(media, id_col, payload_col)
+    pairs = image_near_dups(
+        media, id_col, payload_col, max_hamming, n_bands
+    )
+    comps = connected_components(
+        sigs.select(F.col("media_id")),
+        pairs,
+        id_col="media_id",
+        a_col="a_id",
+        b_col="b_id",
+    )
+    return comps.select(
+        "media_id",
+        "cluster_id",
+        (F.col("media_id") == F.col("cluster_id")).alias("kept"),
     )

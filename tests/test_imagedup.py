@@ -81,6 +81,32 @@ def test_image_near_dups_end_to_end(spark):
     assert pairs[0].hamming <= 6
 
 
+def test_image_dedup_kept_end_to_end(spark):
+    """Pairs -> connected components -> keep-min: a transitive chain
+    (PNG ~ JPEG ~ subsampled JPEG of one image) collapses to ONE kept
+    member even if the ends of the chain pair only through the middle."""
+    from security_log_analysis_rust_spark.textops.imagedup import (
+        image_dedup_kept,
+    )
+
+    base = _smooth_rgb(seed=5)
+    other = _smooth_rgb(seed=6)
+    rows = [
+        (0, bytearray(_encode_png(base, filters=[0]))),
+        (1, bytearray(encode_color(base))),
+        (2, bytearray(encode_color(base, subsample=True))),
+        (3, bytearray(_encode_png(other, filters=[0]))),
+        (4, bytearray(b"\x01" * 16)),  # undecodable: no row
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = {r.media_id: (r.cluster_id, r.kept)
+           for r in image_dedup_kept(media).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0] == (0, True)
+    assert out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True)
+
+
 def test_spark_dhash_matches_driver():
     """The mapInPandas signature equals a driver-side decode+hash of the
     same payload (no partitioning or Arrow effects)."""
