@@ -359,9 +359,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vectors: int | None = None,
+    centroid_vectors: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer
     alternative to :func:`lsh_topk`.
+
+    ``centroid_vectors`` (optional) replaces the md5-sampled coarse
+    quantizer with caller-supplied centroids — e.g. trained
+    :func:`.kmeans.kmeans_fit` output, the FAISS-style configuration.
+    The default (None) keeps the SQL-oracle-certified sampling path.
 
     * **Centroids**: ``n_centroids`` deterministic data samples — the rows
       with the smallest ``md5(vec_id || ':' || seed)`` (a seeded uniform
@@ -378,24 +384,30 @@ def ivf_topk(
       collect of the table.
     """
     spark = emb.sparkSession
-    if n_centroids is None:
-        n_centroids = auto_n_centroids(
-            emb.count() if n_vectors is None else n_vectors
-        )
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
-    cent_rows = (
-        base.withColumn(
-            "__h", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}")))
+    if centroid_vectors is not None:
+        cent_pairs = [
+            (i, [float(x) for x in c]) for i, c in enumerate(centroid_vectors)
+        ]
+    else:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(
+                emb.count() if n_vectors is None else n_vectors
+            )
+        cent_rows = (
+            base.withColumn(
+                "__h",
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))),
+            )
+            .orderBy("__h", "vec_id")
+            .limit(n_centroids)
+            .collect()
         )
-        .orderBy("__h", "vec_id")
-        .limit(n_centroids)
-        .collect()
-    )
+        cent_pairs = [
+            (i, [float(x) for x in r["v"]]) for i, r in enumerate(cent_rows)
+        ]
     cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in r["v"]]) for i, r in enumerate(cent_rows)],
-            "cid int, cv array<double>",
-        )
+        spark.createDataFrame(cent_pairs, "cid int, cv array<double>")
     )
     # rounded so the centroid ranking is reproducible by the SQL oracle
     csim = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)

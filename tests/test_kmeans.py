@@ -80,6 +80,30 @@ def test_semdedup_accepts_trained_centroids(spark):
     assert pa.equals(pb)
 
 
+def test_ivf_accepts_trained_centroids(spark):
+    """Trained centroids flow through ivf_topk's override (the FAISS
+    configuration); recall vs exact stays at least non-inferior to the
+    certified md5-sampled quantizer on the same probe budget."""
+    from security_log_analysis_rust_spark.textops.ann import (
+        brute_force_topk,
+        ivf_topk,
+        recall_at_k,
+    )
+    from security_log_analysis_rust_spark.textops.kmeans import kmeans_fit
+
+    emb = _emb(spark)
+    exact = brute_force_topk(emb, k=5)
+    trained = kmeans_fit(emb, k=16, iters=4)
+    r_trained = recall_at_k(
+        ivf_topk(emb, k=5, centroid_vectors=trained, n_probe=4), exact
+    )
+    r_sampled = recall_at_k(
+        ivf_topk(emb, k=5, n_centroids=16, n_probe=4), exact
+    )
+    assert r_trained >= r_sampled - 0.05, (r_trained, r_sampled)
+    assert r_trained > 0.5
+
+
 def test_kmeans_empty_cluster_contract(spark):
     """k larger than the number of distinct directions: empty clusters
     keep their init centroid instead of collapsing to NaN."""
