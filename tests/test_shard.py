@@ -142,6 +142,56 @@ def test_plan_mixture_waterfilling():
         "web": 0.0, "code": 0.0, "books": 0.0}
 
 
+def test_plan_mixture_properties_hypothesis():
+    """Waterfilling invariants on random instances: rates in [0,1];
+    takes conserve the budget when feasible (everything kept when not);
+    unsaturated sources keep exact target proportions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from security_log_analysis_rust_spark.textops.domains import plan_mixture
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from([f"s{i}" for i in range(8)]),
+            st.tuples(
+                st.integers(min_value=1, max_value=10_000),   # avail
+                st.floats(min_value=0.01, max_value=10.0),    # weight
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=0, max_value=40_000),
+    )
+    def check(cfg, budget):
+        avail = {s: a for s, (a, _) in cfg.items()}
+        weights = {s: w for s, (_, w) in cfg.items()}
+        rates = plan_mixture(avail, weights, budget)
+        assert set(rates) == set(avail)
+        assert all(0.0 <= r <= 1.0 + 1e-12 for r in rates.values())
+        takes = {s: rates[s] * avail[s] for s in avail}
+        total_avail = sum(avail.values())
+        if budget >= total_avail:
+            assert all(rates[s] == 1.0 for s in avail)
+        else:
+            assert math.isclose(
+                sum(takes.values()), budget, rel_tol=1e-9, abs_tol=1e-6
+            )
+            # unsaturated sources match target proportions exactly
+            unsat = [s for s in avail if rates[s] < 1.0 - 1e-12]
+            for x in unsat:
+                for y in unsat:
+                    assert math.isclose(
+                        takes[x] * weights[y],
+                        takes[y] * weights[x],
+                        rel_tol=1e-9,
+                        abs_tol=1e-6,
+                    )
+
+    check()
+
+
 def test_plan_mixture_feeds_mixture_thin(spark):
     """Composed end-to-end: plan rates from real per-source counts, thin
     with them, and land within the binomial tolerance of the budget."""
