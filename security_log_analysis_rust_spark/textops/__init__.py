@@ -16,9 +16,17 @@ sequence packing via a two-phase distributed prefix sum (``pack``),
 exact-substring span dedup (``exactsubstr``, Lee et al. ACL'22),
 semantic embedding-space dedup (``semdedup``, Abbas et al. 2023),
 URL canonicalization + URL dedup (``domains``), distributed BPE
-tokenizer training (``bpe``, Sennrich ACL'16), and DSIR importance
-resampling (``dsir``, Xie et al. NeurIPS'23). Every
+tokenizer training (``bpe``, Sennrich ACL'16), DSIR importance
+resampling (``dsir``, Xie et al. NeurIPS'23), a fastText-style hashed
+quality classifier with GPT-3 Pareto selection (``classifier``, Joulin
+et al. 2017 / Brown et al. 2020 App. A), deterministic shuffle-shard
+training output (``shard``) + token-budget mixture waterfilling
+(``domains.plan_mixture``), distributed spherical k-means for trained
+SemDeDup/IVF centroids (``kmeans``), and perceptual image near-dup
+detection + dedup over the in-tree codecs (``imagedup``). Every
 operator carries a DuckDB oracle — via shared deterministic literals
 (seeded planes / md5-sampled centroids) or a generated SQL twin — checked
-with the driver's own comparator in tests.
+with the driver's own comparator in tests; the exceptions (kmeans,
+classifier training) are certified against same-order numpy references
+instead, with their *outputs* oracle-paired downstream.
 """
