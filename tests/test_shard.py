@@ -42,6 +42,34 @@ def test_shuffle_shards_oracle_parity(spark):
     assert len(got) == 500
 
 
+def test_shuffle_shards_string_id_oracle_parity(spark):
+    """String ids (urls, incl. replica '#' suffixes) hash identically on
+    both sides — the bench path shards by url, not a bigint."""
+    from security_log_analysis_rust_spark.textops.shard import (
+        shuffle_shards,
+        shuffle_shards_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet").selectExpr(
+        "concat('https://ex.com/', doc_id, '#', source) AS url", "source"
+    )
+    got = shuffle_shards(docs, n_shards=4, id_col="url", salt="s").toPandas()
+    con = duck_connection(TESTDATA)
+    try:
+        oracle = con.sql(
+            shuffle_shards_oracle_sql(
+                "SELECT 'https://ex.com/' || doc_id || '#' || source AS url,"
+                " source FROM documents",
+                n_shards=4, id_col="url", salt="s",
+            )
+        ).df()
+    finally:
+        con.close()
+    problems = compare_frames(got, oracle)
+    assert not problems, "; ".join(p[:400] for p in problems)
+    assert len(got) == 500
+
+
 def test_shuffle_is_partitioning_invariant_and_balanced(spark):
     from security_log_analysis_rust_spark.textops.shard import shuffle_shards
 
