@@ -220,6 +220,23 @@ def main():
     ).df()
     record("quality_classifier_select", got, oracle, t0)
 
+    # --- HTML -> text extraction over the real binary html column
+    from security_log_analysis_rust_spark.textops.html import (
+        extract_text,
+        extract_text_oracle_sql,
+    )
+
+    t0 = time.time()
+    got = extract_text(
+        spark.read.parquet(pages_path).select("url", "html")
+    ).toPandas()
+    oracle = con.sql(
+        extract_text_oracle_sql(
+            f"SELECT url, html FROM read_parquet('{pages_glob}')"
+        )
+    ).df()
+    record("html_extract_text", got, oracle, t0)
+
     con.close()
     n_ok = sum(1 for r in results.values() if r["hash_match"])
     out = {
