@@ -22,8 +22,10 @@ quality classifier with GPT-3 Pareto selection (``classifier``, Joulin
 et al. 2017 / Brown et al. 2020 App. A), deterministic shuffle-shard
 training output (``shard``) + token-budget mixture waterfilling
 (``domains.plan_mixture``), distributed spherical k-means for trained
-SemDeDup/IVF centroids (``kmeans``), and perceptual image near-dup
-detection + dedup over the in-tree codecs (``imagedup``). Every
+SemDeDup/IVF centroids (``kmeans``), perceptual image near-dup
+detection + dedup over the in-tree codecs (``imagedup``), and HTML ->
+text extraction with a link-density boilerplate signal (``html``) —
+the entry stage for corpora arriving as raw markup. Every
 operator carries a DuckDB oracle — via shared deterministic literals
 (seeded planes / md5-sampled centroids) or a generated SQL twin — checked
 with the driver's own comparator in tests; the exceptions (kmeans,
