@@ -228,6 +228,21 @@ def run_headline(spark, sf_dir: str, trials: int = 2) -> dict:
     extras["shard_max_pos"] = srow[1]
     extras["shuffle_shard_sec"] = round(time.time() - t0, 3)
 
+    # extras: HTML -> text extraction over the input table's binary html
+    from security_log_analysis_rust_spark.synth import ensure_synthetic
+    from security_log_analysis_rust_spark.textops.html import extract_text
+
+    raw = spark.read.parquet(
+        ensure_synthetic(sf_dir)["pages"]
+    ).select("url", "html")
+    t0 = time.time()
+    hrow = extract_text(raw).agg(
+        F.count("*"), F.sum(F.length("extracted_text"))
+    ).collect()[0]
+    extras["html_extract_rows"] = hrow[0]
+    extras["html_extract_chars"] = int(hrow[1] or 0)
+    extras["html_extract_sec"] = round(time.time() - t0, 3)
+
     best = {k: min(t[k] for t in trial_times) for k in trial_times[0]}
     return {"times": best, "trials": trial_times, "extras": extras}
 
