@@ -133,21 +133,32 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per doc (shared by jaccard + minhash)."""
+    """Distinct word-3-gram shingles per doc (shared by jaccard + minhash).
+
+    The token array is materialized behind an explode-barrier (the
+    ``textops.winnow`` / ``textops.exactsubstr`` move) so the 3-gram lambda
+    slices a bound ATTRIBUTE: inlined, Catalyst re-evaluates the whole
+    ``split(lower(trim(text)))`` once per ``F.get`` per shingle — measured
+    2.5x slower on the sf0.1 corpus (r6)."""
     docs = _spread_small_input(docs)
-    toks = _doc_tokens()
+    base = docs.select(
+        "doc_id",
+        _doc_tokens().alias("__toks"),
+        F.explode(F.array(F.lit(1))).alias("__b"),
+    )
+    t = F.col("__toks")
     sh = F.when(
-        F.size(toks) >= 3,
+        F.size(t) >= 3,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
+                F.sequence(F.lit(0), F.size(t) - 3),
                 lambda i: F.concat_ws(
-                    " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+                    " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
                 ),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("sh"))
+    return base.select("doc_id", F.explode(sh).alias("sh"))
 
 
 # --------------------------------------------------------------------------

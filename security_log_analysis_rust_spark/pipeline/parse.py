@@ -292,14 +292,13 @@ def extract_events(
     )
     apache_host = F.substring(F.get("toks", 0), 1, 60)
 
-    mtoks = F.split(F.trim(F.col("msg")), r"\s+")
-    nginx_host = F.substring(F.get(mtoks, 2), 1, 60)
+    nginx_host = F.substring(F.get("mtoks", 2), 1, 60)
     nginx_ok = (
         F.col("j_valid")
         & ~F.col("has_iu")
         & line.contains("nginx")
-        & (F.size(mtoks) >= 3)
-        & nginx_host.rlike(IPV4_RE)
+        & (F.size("mtoks") >= 3)
+        & F.col("nginx_host").rlike(IPV4_RE)
     )
     level = (
         F.when(line.contains("err") | line.contains("ERR"), "error")
@@ -308,12 +307,18 @@ def extract_events(
         .when(line.contains("debug") | line.contains("DEBUG"), "debug")
     )
 
-    # Stage 1: extraction-independent routing (kind0) — cheap JVM
-    # predicates only. (Historical note: the extraction was an Arrow pandas
-    # UDF through round 2, and Catalyst duplicates a UDF referenced across a
-    # Filter boundary into two ArrowEvalPython passes; the staging + barrier
-    # below predate the pure-expression extraction and remain because they
-    # also keep the expression from being re-evaluated per filter.)
+    # Stage 1: every per-line derivation is materialized as a COLUMN and the
+    # kind routing references only those attributes; the row drop happens via
+    # an explode-barrier instead of a Filter. Rationale (r6, measured): a
+    # plain ``.filter(kind.isNotNull())`` is pushed below the projections by
+    # PushDownPredicates with the full ``kind`` CASE *inlined*, so the filter
+    # re-derived from_json ~8x and split(trim(line)) ~10x per line straight
+    # from ``line`` (visible in plans/r06/q1_parse_route_before.txt); the
+    # barrier pins one evaluation of each derivation per line. (Historical
+    # note: the extraction was an Arrow pandas UDF through round 2, and
+    # Catalyst duplicates a UDF referenced across a Filter boundary into two
+    # ArrowEvalPython passes; the same barrier idea predates the
+    # pure-expression extraction.)
     parsed0 = (
         pages_to_lines(pages)
         .withColumn("j_valid", j_valid)
@@ -322,22 +327,41 @@ def extract_events(
         .withColumn("unit", rec["UNIT"])
         .withColumn("jts", jts)
         .withColumn("toks", toks)
+        .withColumn("ssh_ts", ssh_ts)
+        .withColumn("apache_ts", apache_ts)
+        .withColumn("apache_host", apache_host)
+        .withColumn("mtoks", F.split(F.trim(F.col("msg")), r"\s+"))
+        .withColumn("nginx_host", nginx_host)
+        .withColumn("level", level)
         .withColumn(
             "kind",
             F.when(F.col("j_valid") & F.col("has_iu"), "jssh")
             .when(nginx_ok, "jnginx")
-            .when(F.col("j_valid") & ~F.col("has_iu") & level.isNotNull(), "systemd")
-            .when(is_ssh & (F.size("toks") >= 10) & ssh_ts.isNotNull(), "ssh")
+            .when(
+                F.col("j_valid") & ~F.col("has_iu") & F.col("level").isNotNull(),
+                "systemd",
+            )
+            .when(
+                is_ssh & (F.size("toks") >= 10) & F.col("ssh_ts").isNotNull(),
+                "ssh",
+            )
             .when(
                 ~is_j
                 & ~is_ssh
                 & (F.size("toks") >= 5)
-                & apache_host.contains(".")
-                & apache_ts.isNotNull(),
+                & F.col("apache_host").contains(".")
+                & F.col("apache_ts").isNotNull(),
                 "apache",
             ),
         )
-        .filter(F.col("kind").isNotNull())
+        .withColumn(
+            "__line_keep",
+            F.explode(
+                F.when(F.col("kind").isNotNull(), F.array(F.lit(1))).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
     )
 
     # Stage 2: ONE extraction expression serves both ssh paths (pure JVM
@@ -388,17 +412,17 @@ def extract_events(
         .alias("service"),
         server_col().alias("server"),
         F.when(F.col("kind").isin("jssh", "jnginx"), F.col("jts"))
-        .when(F.col("kind") == "ssh", ssh_ts)
-        .when(F.col("kind") == "apache", apache_ts)
+        .when(F.col("kind") == "ssh", F.col("ssh_ts"))
+        .when(F.col("kind") == "apache", F.col("apache_ts"))
         .alias("datetime"),
         F.when(F.col("kind").isin("ssh", "jssh"), F.col("ex.host"))
-        .when(F.col("kind") == "jnginx", nginx_host)
-        .when(F.col("kind") == "apache", apache_host)
+        .when(F.col("kind") == "jnginx", F.col("nginx_host"))
+        .when(F.col("kind") == "apache", F.col("apache_host"))
         .alias("host"),
         F.when(F.col("kind").isin("ssh", "jssh"), F.col("ex.username")).alias(
             "username"
         ),
-        F.when(~is_intr, level).alias("log_level"),
+        F.when(~is_intr, F.col("level")).alias("log_level"),
         F.when(~is_intr, F.col("unit")).alias("log_unit"),
         F.when(~is_intr, F.col("msg")).alias("log_message"),
         F.when(~is_intr, F.col("jts")).alias("log_timestamp"),
