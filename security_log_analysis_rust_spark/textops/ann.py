@@ -30,7 +30,7 @@ from typing import Iterator, List
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -122,6 +122,161 @@ def seeded_planes(
     return rng.standard_normal((n_tables, n_bits, dim)).round(decimals).tolist()
 
 
+def _vec_sql(vals) -> str:
+    """SQL text of an array<double> literal. ``repr(float)`` is the
+    shortest round-trip decimal, and both Python and the SQL parser bind it
+    with correctly-rounded ``Double.parseDouble`` semantics, so the parsed
+    doubles are bit-identical to the Python values."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")"
+
+
+def _vecs_lit(vecs) -> Column:
+    """array<array<double>> literal via ONE parsed SQL expression.
+
+    r6, measured: building the same literal through per-element ``F.lit``
+    costs ~1.5 s of py4j round trips at 64 vectors x 64 dims — paid on
+    EVERY query construction; one ``F.expr`` parse costs ~20 ms."""
+    return F.expr("array(" + ",".join(_vec_sql(v) for v in vecs) + ")")
+
+
+#: plane-literal Column cache — planes are pure functions of the key, and a
+#: Column is an immutable expression handle (JVM-wide, not session-scoped),
+#: so rebuilding the ~4k-node literal per query is pure waste. This caches
+#: an EXPRESSION (seeded constants), never data or results.
+_PLANES_LIT_CACHE: dict = {}
+
+
+def _planes_lit(
+    n_tables: int, n_bits: int, dim: int, seed: int, bank_bits: int | None
+) -> Column:
+    key = (n_tables, n_bits, dim, seed, bank_bits)
+    if key not in _PLANES_LIT_CACHE:
+        gen_bits = bank_bits if bank_bits else n_bits
+        planes = seeded_planes(n_tables, gen_bits, dim, seed=seed)
+        _PLANES_LIT_CACHE[key] = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_vec_sql(p) for p in tbl[:n_bits]) + ")"
+                for tbl in planes
+            )
+            + ")"
+        )
+    return _PLANES_LIT_CACHE[key]
+
+
+def _lambda_dot(v: Column, p: Column) -> Column:
+    """Dot product of two bound array columns/lambda variables — the same
+    ``zip_with``/``aggregate`` expression (same left-to-right float order)
+    as :func:`_dot`, usable inside HOF lambdas."""
+    return F.aggregate(
+        F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _lambda_norm(a: Column) -> Column:
+    """Norm of a bound array column/lambda variable — same float order as
+    :func:`_norm`."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def _centroid_score_structs(cent_pairs) -> Column:
+    """array<struct<ns,cid>> over the bound ``v`` column: negated rounded
+    cosine + centroid id, ONE expression tree (a ``transform`` over the
+    centroid-literal array with the cid as the lambda index — ``cent_pairs``
+    is enumerate-ordered, so index == cid).
+
+    Single-tree matters (r6, measured): K separate per-centroid expression
+    trees evaluate ~8x slower than one tree applied K times — the
+    interpreter/JIT never gets a hot monomorphic path. Sorting ascending on
+    (ns, cid) equals the former window's (csim desc, cid asc); negation of
+    a double is exact, and java.lang.Double ordering is symmetric under
+    negation (incl. -0.0/NaN), so the pick is identical."""
+    cents_lit = _vecs_lit([cv for _, cv in cent_pairs])
+    v = F.col("v")
+    return F.transform(
+        cents_lit,
+        lambda cv, i: F.named_struct(
+            F.lit("ns"),
+            -F.round(
+                _lambda_dot(v, cv) / (_lambda_norm(v) * _lambda_norm(cv)), 6
+            ),
+            F.lit("cid"),
+            i.cast("int"),
+        ),
+    )
+
+
+def _bucket_structs(planes_lit: Column) -> Column:
+    """array<struct<tbl,bucket>> — all tables' sign-pattern buckets for the
+    bound ``v`` column, as ONE per-row expression over the plane literals.
+
+    r6 rewrite (guide §2.4 "remove shuffles outright"): the former
+    formulation joined a broadcast (tbl, bit, plane) dim — exploding every
+    vector into n_tables*n_bits rows each carrying the full vector — then
+    re-assembled buckets with a groupBy(id, tbl) SUM, i.e. one broadcast
+    join + one full exchange per bucketing pass. The planes are seeded
+    literals, so the whole computation is a narrow map; each dot product
+    is the identical zip_with/aggregate expression the join version
+    evaluated (same float order -> identical buckets, verified), and the
+    whole bucketing is ONE nested-HOF tree over a nested plane literal —
+    per-table/per-bit expression copies were measured ~8x slower (the
+    single tree stays monomorphic for the interpreter/JIT; 56 distinct
+    trees do not). ``pow(2.0, i)`` over the bit index is exact for the bit
+    range and equals the former ``shiftleft(1, bit)``."""
+    v = F.col("v")
+    return F.transform(
+        planes_lit,
+        lambda mat, t: F.named_struct(
+            F.lit("tbl"),
+            t.cast("int"),
+            F.lit("bucket"),
+            F.aggregate(
+                F.transform(
+                    mat,
+                    lambda p, i: F.when(
+                        _lambda_dot(v, p) > 0, F.pow(F.lit(2.0), i).cast("int")
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+        ),
+    )
+
+
+def _bucket_rows(
+    emb: DataFrame,
+    n_bits: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+    bank_bits: int | None,
+) -> DataFrame:
+    """-> (id_col, v, tbl, bucket): one row per (vector, table), vector
+    carried through — zero joins, zero shuffles (one narrow explode)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if bank_bits is not None and n_bits > bank_bits:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds the plane bank ({bank_bits} bits): "
+            "the oracle-paired literals cannot follow. Cap n_bits at "
+            "bank_bits (auto paths do) or enlarge the bank on both sides."
+        )
+    planes_lit = _planes_lit(n_tables, n_bits, dim, seed, bank_bits)
+    base = _as_double_vec(emb, id_col, vec_col)
+    return base.select(
+        id_col,
+        "v",
+        F.explode(_bucket_structs(planes_lit)).alias("__tb"),
+    ).select(id_col, "v", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
+
+
 def with_lsh_buckets(
     emb: DataFrame,
     n_bits: int = 10,
@@ -134,10 +289,9 @@ def with_lsh_buckets(
 ) -> DataFrame:
     """-> (id_col, tbl, bucket): sign-pattern bucket per (vector, table).
 
-    JVM-side: the plane set is a (n_tables * n_bits)-row dim table —
-    broadcast of a dim-sized (not corpus-sized) frame — and the sign bits
-    are zip_with/aggregate expressions inside codegen. One map-side pass,
-    one groupBy on (id, tbl) whose input is N * n_tables * n_bits rows.
+    JVM-side narrow map over plane LITERALS (see :func:`_bucket_structs`) —
+    no plane-dim join, no groupBy; bucket values are bit-identical to the
+    former join+sum formulation.
 
     ``bank_bits``: generate a fixed-size plane BANK and use its first
     ``n_bits`` planes per table. The bank decouples the plane *values* from
@@ -150,34 +304,9 @@ def with_lsh_buckets(
     ``dim`` skips the one-row ``first()`` probe job when the caller already
     knows the embedding width (every production caller does).
     """
-    spark = emb.sparkSession
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    if bank_bits is not None and n_bits > bank_bits:
-        raise ValueError(
-            f"n_bits={n_bits} exceeds the plane bank ({bank_bits} bits): "
-            "the oracle-paired literals cannot follow. Cap n_bits at "
-            "bank_bits (auto paths do) or enlarge the bank on both sides."
-        )
-    gen_bits = bank_bits if bank_bits else n_bits
-    planes = seeded_planes(n_tables, gen_bits, dim, seed=seed)
-    rows = [
-        (t, b, planes[t][b]) for t in range(n_tables) for b in range(n_bits)
-    ]
-    plane_df = spark.createDataFrame(
-        rows, "tbl int, bit int, plane array<double>"
-    )
-    base = _as_double_vec(emb, id_col, vec_col)
-    bits = base.join(F.broadcast(plane_df)).select(
-        F.col(id_col),
-        "tbl",
-        F.when(_dot("v", "plane") > 0, F.expr("shiftleft(1, bit)"))
-        .otherwise(0)
-        .alias("bitval"),
-    )
-    return bits.groupBy(id_col, "tbl").agg(
-        F.sum("bitval").cast("long").alias("bucket")
-    )
+    return _bucket_rows(
+        emb, n_bits, n_tables, seed, id_col, vec_col, dim, bank_bits
+    ).select(id_col, "tbl", "bucket")
 
 
 def _half_up_round(x: np.ndarray, decimals: int = 6) -> np.ndarray:
@@ -254,12 +383,11 @@ def lsh_topk(
         )
         if bank_bits is not None:
             n_bits = min(n_bits, bank_bits)
-    buckets = with_lsh_buckets(
-        emb, n_bits=n_bits, n_tables=n_tables, seed=seed,
-        id_col=id_col, vec_col=vec_col, bank_bits=bank_bits, dim=dim,
-    )
-    base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
-    grouped = buckets.withColumnRenamed(id_col, "vec_id").join(base, "vec_id")
+    # r6: vectors ride along with their bucket rows (narrow map, zero
+    # joins) instead of bucketing then joining the vector table back
+    grouped = _bucket_rows(
+        emb, n_bits, n_tables, seed, id_col, vec_col, dim, bank_bits
+    ).withColumnRenamed(id_col, "vec_id")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _bucket_topk(pdf, k)
@@ -267,13 +395,40 @@ def lsh_topk(
     local = grouped.groupBy("tbl", "bucket").applyInPandas(
         kernel, _BUCKET_TOPK_SCHEMA
     )
-    # same pair from several buckets carries an identical rounded sim
-    merged = local.dropDuplicates(["vec_id", "neighbor_id"])
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        merged.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", "sim")
+    return _merge_topk(local, k)
+
+
+def _merge_topk(local: DataFrame, k: int) -> DataFrame:
+    """Global per-vector top-k merge of per-bucket top-k rows.
+
+    r6 rewrite (guide §2.4): the former ``dropDuplicates(pair)`` + rank
+    window was TWO exchanges (hash on the pair, then hash on vec_id) plus a
+    sort-based window; one ``groupBy(vec_id)`` + sorted-array expressions
+    computes the identical result in ONE exchange. The same pair emitted by
+    several buckets carries an identical rounded sim (the kernel's rounding
+    is deterministic), so ``array_distinct`` over (sim, neighbor) structs
+    dedups exactly like the pair ``dropDuplicates`` did; sort order
+    (-sim asc, neighbor asc) == the window's (sim desc, neighbor asc);
+    negation of a finite double is exact, so sims round-trip bit-identically.
+    """
+    merged = local.groupBy("vec_id").agg(
+        F.collect_list(
+            F.struct((-F.col("sim")).alias("ns"), F.col("neighbor_id").alias("nid"))
+        ).alias("__cands")
+    )
+    top = merged.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(
+                F.array_distinct(F.array_sort(F.col("__cands"))), 1, k
+            )
+        ).alias("__pos", "__s"),
+    )
+    return top.select(
+        "vec_id",
+        F.col("__s.nid").alias("neighbor_id"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        (-F.col("__s.ns")).alias("sim"),
     )
 
 
@@ -375,15 +530,14 @@ def ivf_topk(
       oracle reproduces the exact set; centroid count is dim-sized, so
       collecting them to build a broadcast literal is O(centroids), never
       O(corpus)).
-    * **Assignment** (JVM expressions over a broadcast centroid dim): each
-      vector joins its single nearest centroid's inverted list; each QUERY
-      probes its ``n_probe`` nearest lists.
+    * **Assignment** (JVM expressions over centroid LITERALS): each vector
+      joins its single nearest centroid's inverted list; each QUERY probes
+      its ``n_probe`` nearest lists — one narrow map, no N*K exchange.
     * **Search**: one shuffle on the list id into the same per-list
       ``applyInPandas`` kernel (queries x list members, one matmul), then
       the global per-vector merge. No corpus-sized broadcast, no driver
       collect of the table.
     """
-    spark = emb.sparkSession
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     if centroid_vectors is not None:
         cent_pairs = [
@@ -406,21 +560,41 @@ def ivf_topk(
         cent_pairs = [
             (i, [float(x) for x in r["v"]]) for i, r in enumerate(cent_rows)
         ]
-    cent_df = F.broadcast(
-        spark.createDataFrame(cent_pairs, "cid int, cv array<double>")
+    # r6 (guide §2.4): the centroids are driver-side literals already, so
+    # the nearest/top-``n_probe`` assignment is ONE per-row expression over
+    # the centroid-literal array — the former broadcast join exploded every
+    # vector into n_centroids rows (each carrying the full vector) and
+    # ranked them with a sort-based window, i.e. a full N*K exchange. The
+    # per-centroid cosine is the identical rounded expression, and the
+    # (-csim, cid) struct sort equals the window's (csim desc, cid asc).
+    ranked_arr = F.array_sort(_centroid_score_structs(cent_pairs))
+    sel = base.select(
+        "vec_id", "v", F.slice(ranked_arr, 1, n_probe).alias("__probe")
     )
-    # rounded so the centroid ranking is reproducible by the SQL oracle
-    csim = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
-    scored = base.join(cent_df).select(
-        "vec_id", "v", "cid", csim.alias("csim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    ranked = scored.withColumn("crank", F.row_number().over(w))
-    members = ranked.filter(F.col("crank") == 1).select(
-        "cid", "vec_id", "v", F.lit("c").alias("role")
-    )
-    probes = ranked.filter(F.col("crank") <= n_probe).select(
-        "cid", "vec_id", "v", F.lit("q").alias("role")
+    rows = sel.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.element_at("__probe", 1)["cid"].alias("cid"),
+                        F.lit("c").alias("role"),
+                    )
+                ),
+                F.transform(
+                    "__probe",
+                    lambda s: F.struct(
+                        s["cid"].alias("cid"), F.lit("q").alias("role")
+                    ),
+                ),
+            )
+        ).alias("__cr"),
+    ).select(
+        F.col("__cr.cid").alias("cid"),
+        "vec_id",
+        "v",
+        F.col("__cr.role").alias("role"),
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -448,18 +622,8 @@ def ivf_topk(
                     rows.append((int(q_ids[r]), int(c_ids[ci]), float(row[ci])))
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim"])
 
-    local = (
-        members.unionByName(probes)
-        .groupBy("cid")
-        .applyInPandas(kernel, _BUCKET_TOPK_SCHEMA)
-    )
-    merged = local.dropDuplicates(["vec_id", "neighbor_id"])
-    w2 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        merged.withColumn("rank", F.row_number().over(w2).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", "sim")
-    )
+    local = rows.groupBy("cid").applyInPandas(kernel, _BUCKET_TOPK_SCHEMA)
+    return _merge_topk(local, k)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 5) -> float:

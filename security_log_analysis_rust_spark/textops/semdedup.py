@@ -41,10 +41,10 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ann import _as_double_vec, _dot, _half_up_round, _norm
+from .ann import _as_double_vec, _centroid_score_structs, _half_up_round
 
 
 def semdedup_n_centroids(n_vectors: int, target_cluster: int = 4096) -> int:
@@ -85,7 +85,6 @@ def semdedup(
     """
     if not threshold > 0:
         raise ValueError("SemDeDup threshold must be positive")
-    spark = emb.sparkSession
     base = _as_double_vec(emb, id_col, vec_col).withColumnRenamed(id_col, "vec_id")
     if centroid_vectors is not None:
         cent_pairs = [
@@ -108,16 +107,20 @@ def semdedup(
         cent_pairs = [
             (i, [float(x) for x in r["v"]]) for i, r in enumerate(cent_rows)
         ]
-    cent_df = F.broadcast(
-        spark.createDataFrame(cent_pairs, "cid int, cv array<double>")
-    )
-    csim = F.round(_dot("v", "cv") / (_norm("v") * _norm("cv")), 6)
-    scored = base.join(cent_df).select("vec_id", "v", "cid", csim.alias("csim"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "cid", "csim", "v")
+    # r6 (guide §2.4): the centroids are driver-side literals already, so
+    # the nearest-centroid assignment is ONE per-row expression over the
+    # centroid-literal array — the former broadcast join exploded every
+    # vector into n_centroids rows (each carrying the full vector) and
+    # picked rank 1 with a sort-based window, i.e. a full N*K exchange.
+    # The per-centroid cosine is the identical rounded expression, and
+    # min-of-(-csim, cid) structs equals the window's (csim desc, cid asc)
+    # rank-1 pick (see _centroid_score_structs on the single-tree shape).
+    best_arr = F.array_min(_centroid_score_structs(cent_pairs))
+    assigned = base.select("vec_id", "v", best_arr.alias("__best")).select(
+        "vec_id",
+        F.col("__best.cid").alias("cid"),
+        (-F.col("__best.ns")).alias("csim"),
+        "v",
     )
     thr = float(threshold)
 

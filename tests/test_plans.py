@@ -121,10 +121,12 @@ def test_similarity_joins_carry_no_broadcast_hints(spark):
         assert "ResolvedHint" not in logical, f"{q.__name__}:\n{logical[:2000]}"
 
 
-def test_lsh_topk_broadcasts_only_the_plane_dim(spark):
-    """lsh_topk's only broadcast hint is the (n_tables*n_bits)-row hyperplane
-    dim — never the embedding table — and the per-bucket kernel pre-reduces
-    before the global merge window."""
+def test_lsh_topk_has_no_joins_and_two_exchanges(spark):
+    """lsh_topk (r6 shape): bucketing is a narrow map over plane LITERALS —
+    no join, no broadcast, no Window anywhere in the plan — and the whole
+    query is exactly two exchanges (bucket groupBy into the kernel, vec_id
+    groupBy for the merge). The per-bucket kernel pre-reduces before the
+    single-exchange array merge."""
     import re
 
     from conftest import TESTDATA_SF_ORACLE
@@ -133,14 +135,16 @@ def test_lsh_topk_broadcasts_only_the_plane_dim(spark):
     emb = spark.read.parquet(f"{TESTDATA_SF_ORACLE}/embeddings.parquet")
     df = lsh_topk(emb, k=3, n_bits=4, n_tables=2)
     logical = _analyzed(df)
-    hints = re.findall(r"ResolvedHint.*", logical)
-    assert len(hints) == 1, hints  # exactly one: the plane dim
-    assert "LogicalRDD" in logical or "LocalRelation" in logical  # tiny local dim
+    assert "ResolvedHint" not in logical  # nothing needs a broadcast at all
+    assert "Join" not in logical, logical[:2000]
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan  # per-bucket kernel present
-    # kernel (pre-reduce) feeds the global rank window: the tree prints
-    # root-first, so the upstream kernel node appears below the Window
-    assert plan.find("Window") < plan.find("FlatMapGroupsInPandas"), plan
+    assert "Window" not in plan, "merge must be the single-exchange array fold"
+    # exactly two HASH exchanges (kernel groupBy + merge groupBy); the only
+    # other allowed exchange is spread_small_input's round-robin, which is a
+    # no-op on many-split production inputs
+    assert plan.count("hashpartitioning") == 2, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan[:2000]
 
 
 def test_winnow_keys_materialized_behind_barrier(spark):
