@@ -134,6 +134,11 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
+        # r6: the changed flag is computed inside the same projection (a
+        # label only ever decreases, so changed == nlabel < label) and
+        # counted off the checkpointed frame — the former convergence
+        # check re-joined the old and new label frames every round, one
+        # full extra exchange per iteration for a boolean.
         new_labels = (
             labels.join(neigh, labels.node == neigh.dst, "left")
             .select(
@@ -141,16 +146,17 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nlabel").isNotNull()
+                    & (F.col("nlabel") < F.col("label"))
+                )
+                .cast("int")
+                .alias("__chg"),
             )
             .localCheckpoint(eager=True)  # truncate lineage every round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break

@@ -99,10 +99,26 @@ def duplicate_windows(
     ``(id, pos)``; within-document repetitions count as duplicates too,
     exactly as the paper's suffix array sees them)."""
     occ = _occurrences(docs, min_len, id_col, text_col)
-    firsts = occ.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
-            "_first"
+    # r6 (guide §3.2): only windows with >= 2 occurrences can produce a
+    # duplicate, so the join's build side is restricted to those — a
+    # single-occurrence window's occurrence IS its first and drops out of
+    # the inner join exactly as the old non-first filter dropped it.
+    # Duplicated windows are typically a small fraction of distinct
+    # windows, so AQE can usually broadcast ``firsts`` and the second
+    # corpus-sized exchange of ``occ`` disappears; when the dup dim is
+    # genuinely large the planner falls back to the same shuffle join as
+    # before (same count() aggregate rides the existing groupBy — no
+    # extra pass).
+    firsts = (
+        occ.groupBy("h")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("_first"),
+            F.count(F.lit(1)).alias("_n_occ"),
         )
+        .filter(F.col("_n_occ") >= 2)
+        .drop("_n_occ")
     )
     return (
         occ.join(firsts, "h")
