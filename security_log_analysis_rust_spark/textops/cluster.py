@@ -153,7 +153,10 @@ def connected_components(
                 .cast("int")
                 .alias("__chg"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage every round
+            # lazy: the ``changed`` aggregate right below is the round's
+            # one job and materializes the checkpoint as it runs — eager
+            # here would spend a second job per round on the same rows
+            .localCheckpoint(eager=False)  # truncate lineage every round
         )
         changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
         labels = new_labels.select("node", "label")

@@ -74,12 +74,15 @@ def train_bigram_lm(
     bi = doc_bigrams(docs, id_col, text_col)
     bigrams = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     if max_bigrams is not None:
-        w = Window.orderBy(F.col("c12").desc(), "w1", "w2")
-        bigrams = (
-            bigrams.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_bigrams)
-            .drop("_rn")
-        )
+        # orderBy().limit() executes as TakeOrdered (per-partition heaps,
+        # driver merges only max_bigrams rows) — the former unpartitioned
+        # Window.orderBy + row_number pulled the ENTIRE distinct-bigram
+        # table through one task, the global-sort bottleneck the module's
+        # scale notes promise to avoid (r6, ADVICE item). Same rows, same
+        # deterministic tiebreak.
+        bigrams = bigrams.orderBy(
+            F.col("c12").desc(), "w1", "w2"
+        ).limit(max_bigrams)
     predecessors = bi.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab_size = (
         docs.select(F.explode(_tokens_col(text_col)).alias("w"))
