@@ -132,22 +132,11 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     return spread_small_input(df)
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per doc (shared by jaccard + minhash).
-
-    The token array is materialized behind an explode-barrier (the
-    ``textops.winnow`` / ``textops.exactsubstr`` move) so the 3-gram lambda
-    slices a bound ATTRIBUTE: inlined, Catalyst re-evaluates the whole
-    ``split(lower(trim(text)))`` once per ``F.get`` per shingle — measured
-    2.5x slower on the sf0.1 corpus (r6)."""
-    docs = _spread_small_input(docs)
-    base = docs.select(
-        "doc_id",
-        _doc_tokens().alias("__toks"),
-        F.explode(F.array(F.lit(1))).alias("__b"),
-    )
+def _doc_shingle_expr():
+    """The distinct word-3-gram shingle ARRAY over the bound ``__toks``
+    token-array attribute."""
     t = F.col("__toks")
-    sh = F.when(
+    return F.when(
         F.size(t) >= 3,
         F.array_distinct(
             F.transform(
@@ -158,7 +147,36 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select("doc_id", F.explode(sh).alias("sh"))
+
+
+def _doc_token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, __toks): token array materialized behind an explode-barrier
+    (the ``textops.winnow`` / ``textops.exactsubstr`` move) so the 3-gram
+    lambda slices a bound ATTRIBUTE: inlined, Catalyst re-evaluates the
+    whole ``split(lower(trim(text)))`` once per ``F.get`` per shingle —
+    measured 2.5x slower on the sf0.1 corpus (r6)."""
+    docs = _spread_small_input(docs)
+    return docs.select(
+        "doc_id",
+        _doc_tokens().alias("__toks"),
+        F.explode(F.array(F.lit(1))).alias("__b"),
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (shared by jaccard + minhash),
+    one row per (doc, shingle).
+
+    The shingle-array expression stays INLINE in the explode (r6):
+    exploding it as a materialized attribute makes the generator "cheap",
+    so InferFiltersFromGenerate infers a ``size(arr) > 0`` filter that
+    predicate pushdown then re-substitutes all the way to the scan —
+    re-evaluating the whole shingle build (split included) per doc in the
+    filter, measured 15x slower. With the non-cheap inline generator the
+    rule skips the inference entirely."""
+    return _doc_token_arrays(docs).select(
+        "doc_id", F.explode(_doc_shingle_expr()).alias("sh")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -723,26 +741,52 @@ def _group_pairs(grouped_ids):
 
 
 def q_docs_jaccard_pairs(spark, sf_dir):
-    sh = _doc_shingles(_docs(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # r6 (guide §2.3 "shuffle keys and metadata instead of payloads"): each
+    # shingle row carries its doc's shingle count (sz == size of the
+    # distinct-shingle array, the value the former separate groupBy pass
+    # computed by re-exploding and re-shuffling the whole shingle table),
+    # and the count rides through the group/pair pipeline — the sza/szb
+    # joins disappear entirely. sz is a pure function of doc_id, so
+    # grouping pairs by (id, sz) pairs groups exactly like (id) alone, and
+    # array_sort on (doc_id, sz) structs orders by doc_id exactly as the
+    # plain id sort did (ids are distinct within a shingle group).
+    # the shingle array is built ONCE per doc behind a generated-output
+    # barrier: explode(array(expr)) emits the array as a GENERATED value,
+    # so the size() projection and the row explode below both read an
+    # attribute, and any inferred/inferred-join filter binds to that
+    # attribute instead of being re-substituted down to the scan
+    arrays = _doc_token_arrays(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode(F.array(_doc_shingle_expr())).alias("__sh_arr")
+    )
+    sh = arrays.select(
+        "doc_id",
+        F.size("__sh_arr").cast("long").alias("sz"),
+        F.explode("__sh_arr").alias("sh"),
+    )
     # ONE shuffle on the shingle key; df >= 2 is a pure optimization
     # (singleton shingles can't pair), df <= JACCARD_DF_CAP is the semantic
     # cap mirrored by the oracle (bounds the C(df,2) explode per shingle).
     groups = (
         sh.groupBy("sh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "sz"))
+            ).alias("ids")
+        )
         .filter((F.size("ids") >= 2) & (F.size("ids") <= JACCARD_DF_CAP))
     )
     inter = (
         groups.select(F.explode(_group_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .groupBy(
+            F.col("p.a_id.doc_id").alias("a_id"),
+            F.col("p.a_id.sz").alias("sza"),
+            F.col("p.b_id.doc_id").alias("b_id"),
+            F.col("p.b_id.sz").alias("szb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))
-    j = inter.join(sa, "a_id").join(sb, "b_id")
     return (
-        j.withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        inter.withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
         .filter(F.col("inter") * 2 >= F.col("uni"))  # jaccard >= 0.5, exact ints
         .select("a_id", "b_id", "inter", "uni")
     )
@@ -764,14 +808,28 @@ def q_docs_minhash_lsh(spark, sf_dir):
     frame."""
     sh = _doc_shingles(_docs(spark, sf_dir))
     # project the hash ONCE per row; the 8 aggregates only slice it
-    # (an expression inside each agg would be re-evaluated 8x)
+    # (an expression inside each agg would be re-evaluated 8x).
+    # The mins aggregate NUMERICALLY (r6): a string-typed min buffer forces
+    # SortAggregate (two full sorts of the shingle table); a long buffer
+    # gets HashAggregate. Fixed-width lowercase hex orders identically to
+    # its numeric value (0-9 < a-f in ASCII), so min-as-long == min-as-
+    # string, and lower(lpad(hex(...))) reconstructs the exact 4-char
+    # slice the band key concatenates — buckets are bit-identical.
     hashed = sh.select("doc_id", F.md5(F.col("sh")).alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.substring(F.col("h"), 4 * s + 1, 4)).alias(f"mh{s}")
+            F.min(
+                F.conv(F.substring(F.col("h"), 4 * s + 1, 4), 16, 10).cast(
+                    "long"
+                )
+            ).alias(f"mh{s}")
             for s in range(8)
         ]
     )
+
+    def _mh_str(s: int):
+        return F.lower(F.lpad(F.hex(F.col(f"mh{s}")), 4, "0"))
+
     buckets = sig.select(
         "doc_id",
         F.explode(
@@ -780,7 +838,9 @@ def q_docs_minhash_lsh(spark, sf_dir):
                     F.struct(
                         F.lit(band).alias("band"),
                         F.md5(
-                            F.concat_ws("|", f"mh{2 * band}", f"mh{2 * band + 1}")
+                            F.concat_ws(
+                                "|", _mh_str(2 * band), _mh_str(2 * band + 1)
+                            )
                         ).alias("bucket"),
                     )
                     for band in range(4)
