@@ -568,6 +568,11 @@ def q_docs_contamination(spark, sf_dir):
     second aggregate — no self-join, no pair blowup, linear in corpus
     shingle volume."""
     sh = _doc_shingles(_docs(spark, sf_dir))
+    # examined r6, left as a join: replacing df_counts+join with a
+    # collect_list-and-explode would save the second shingle pass locally
+    # but loses the map-side-combined count AND AQE's skew-join handling —
+    # a boilerplate shingle would buffer all its occurrences in one task.
+    # The join is the skew-safe 100 TB shape.
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df_counts, "sh")

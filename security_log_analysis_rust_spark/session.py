@@ -83,6 +83,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions
+        # hold (guide §3.1/§9): the iterative joins (label propagation,
+        # classifier train) and mid-size key joins skip the per-round
+        # sort-merge sorts; the decision stays size-based, so this is not
+        # a local-mode tune — SMJ still wins when a side is too big
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # small dims (host_country, country_code) must broadcast
@@ -105,6 +111,7 @@ def configure(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     except Exception:
         pass
     ship_package(spark)
