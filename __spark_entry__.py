@@ -612,32 +612,101 @@ def q_docs_training_corpus(spark, sf_dir):
     — AQE coalesces) over per-doc signal frames that are tiny relative to
     the text itself."""
     kept = q_docs_dedup_kept(spark, sf_dir)
-    lang = (
-        q_docs_langid(spark, sf_dir)
-        .filter(F.col("guess_lang") == "en")
-        .select("doc_id")
+
+    # r6: the three signal frames (langid == 'en', quality gate, repetition
+    # screens) used to be three INDEPENDENT scans of the documents table
+    # joined back on doc_id, with the repetition branch alone costing an
+    # explode + two shuffled aggregates + a join (plans/r06/
+    # training_corpus_before.txt). Every signal the composition filters on
+    # is a pure per-doc function of the text, so the whole stack is fused
+    # into ONE map-only pass over one scan. Row-for-row equivalence with
+    # the joined formulation (verified by xxhash64 set-equality at sf0.01 /
+    # sf0.1 and the unchanged DuckDB oracle):
+    #
+    # * langid: ``guess_lang == 'en'`` iff ``en >= de AND en >= fr`` (the
+    #   first WHEN branch; null scores fall through to 'fr' there and to a
+    #   null predicate here — dropped either way);
+    # * quality: ``is_quality`` copied verbatim;
+    # * repetition: ``top_token_frac`` needs the mode count that
+    #   ``q_docs_repetition`` gets from the (doc_id, tok) aggregate — but
+    #   max-count == max run length of the SORTED token array, a linear
+    #   fold (O(n log n) sort per doc, all JVM, no shuffle); ``n_tokens``
+    #   (the exploded-token count) == size(toks); ``dup_2gram_frac`` is
+    #   copied verbatim. Docs with NULL text have no repetition row (the
+    #   explode drops them, so the inner join dropped them) — here every
+    #   predicate is null on null text and the barrier drops them too.
+    #
+    # Same materialize-then-explode-barrier shape as pipeline/parse.py: a
+    # plain .filter() would be pushed below the projection with the token
+    # split re-inlined per reference.
+    d = _spread_small_input(_docs(spark, sf_dir))
+    t = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def cnt(p):
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(p), F.lit(" "))))
+            / (len(p) - 1)
+        ).cast("int")
+
+    en = cnt(" the ") + cnt(" and ") + cnt(" of ")
+    de = cnt(" der ") + cnt(" und ") + cnt(" die ")
+    fr = cnt(" le ") + cnt(" et ") + cnt(" la ")
+    lang_ok = (en >= de) & (en >= fr)
+
+    nq = F.size(F.split(F.trim("text"), r"\s+"))
+    stop = (
+        (F.length(t) - F.length(F.replace(t, F.lit(" the "), F.lit(" ")))) / 4
+    ).cast("int")
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("int")
+    qual_ok = (nq >= 5) & (punct * 5 < nq) & (stop > 0)
+
+    toks = F.col("__toks")
+    bi = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit("\x01"), b),
     )
-    qual = (
-        q_docs_quality(spark, sf_dir)
-        .filter(F.col("is_quality"))
-        .select("doc_id")
+    dup2 = F.when(F.size(toks) <= 1, F.lit(0.0)).otherwise(
+        F.round(1 - F.size(F.array_distinct(bi)) / (F.size(toks) - 1), 6)
     )
-    rep = (
-        q_docs_repetition(spark, sf_dir)
-        .filter(
-            (F.col("top_token_frac") <= TRAIN_TOP_TOKEN_MAX)
-            & (F.col("dup_2gram_frac") <= TRAIN_DUP_2GRAM_MAX)
+
+    def _run(acc, x):
+        return F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+            F.lit(1)
         )
-        .select("doc_id")
+
+    top = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x)).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
     )
-    return (
-        _docs(spark, sf_dir)
-        .join(kept, "doc_id")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .join(rep, "doc_id")
+    rep_ok = (F.round(top / F.size(toks), 6) <= TRAIN_TOP_TOKEN_MAX) & (
+        dup2 <= TRAIN_DUP_2GRAM_MAX
+    )
+
+    sig = (
+        d.withColumn("__lq", lang_ok & qual_ok)
+        .withColumn("__toks", F.split(F.lower(F.trim("text")), r"\s+"))
+        .withColumn(
+            "__keep",
+            F.explode(
+                F.when(
+                    F.col("__lq") & rep_ok, F.array(F.lit(1))
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
         .select("doc_id", "source", "n_chars")
     )
+    return sig.join(kept, "doc_id").select("doc_id", "source", "n_chars")
 
 
 #: unanchored IPv4 for in-text scrubbing — a regex subset Java regex
