@@ -144,6 +144,12 @@ def train_classifier(
     # cached partitioning every iteration, so only the ``groupBy(idx)``
     # shuffles — one exchange up front replaces two per iteration
     # (weights verified bit-identical; measured ~20% off the train loop).
+    # The label rides the cached feature rows (r6, resumed session): ``_y``
+    # is constant per doc, so ``first(_y)`` in the margins aggregate equals
+    # the old per-iteration ``join(labels)`` — one broadcast build + join
+    # stage fewer per iteration, margins sums in the identical order
+    # (the label join happened ABOVE the aggregate, so removing it cannot
+    # reassociate them; weights re-verified bit-identical).
     feats = (
         doc_features(docs, id_col, text_col, dim)
         .unionByName(
@@ -151,6 +157,7 @@ def train_classifier(
                 id_col, F.lit(-1).alias("idx"), F.lit(1.0).alias("val")
             )
         )
+        .join(F.broadcast(labels), id_col)
         .repartition(F.col(id_col))
         .cache()
     )
@@ -164,8 +171,10 @@ def train_classifier(
         resid = (
             feats.join(F.broadcast(wdf), "idx")
             .groupBy(id_col)
-            .agg(F.sum(F.col("val") * F.col("_w")).alias("_m"))
-            .join(labels, id_col)
+            .agg(
+                F.sum(F.col("val") * F.col("_w")).alias("_m"),
+                F.first("_y").alias("_y"),
+            )
             .select(
                 id_col,
                 (
