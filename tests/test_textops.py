@@ -1373,3 +1373,45 @@ def test_decode_media_avif_header_fallback(spark):
     )
     row = decode_media(media).collect()[0]
     assert (row.width, row.height, row.n_channels) == (240, 135, 4)
+
+
+def test_training_corpus_fused_signals_match_joined_formulation(spark):
+    """r6: q_docs_training_corpus fuses the langid/quality/repetition
+    signal joins into one map-only scan; pin it row-for-row to the
+    definitional joined composition of the (unchanged, individually
+    oracle-certified) signal queries."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    sf = TESTDATA_SF_ORACLE
+    kept = E.q_docs_dedup_kept(spark, sf)
+    lang = (
+        E.q_docs_langid(spark, sf)
+        .filter(F.col("guess_lang") == "en")
+        .select("doc_id")
+    )
+    qual = (
+        E.q_docs_quality(spark, sf)
+        .filter(F.col("is_quality"))
+        .select("doc_id")
+    )
+    rep = (
+        E.q_docs_repetition(spark, sf)
+        .filter(
+            (F.col("top_token_frac") <= E.TRAIN_TOP_TOKEN_MAX)
+            & (F.col("dup_2gram_frac") <= E.TRAIN_DUP_2GRAM_MAX)
+        )
+        .select("doc_id")
+    )
+    joined = (
+        E._docs(spark, sf)
+        .join(kept, "doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .select("doc_id", "source", "n_chars")
+    )
+    fused = E.q_docs_training_corpus(spark, sf)
+    a = sorted(map(tuple, joined.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) > 0
